@@ -1,0 +1,87 @@
+"""Offline ≡ streaming equivalence — the reference's key invariant
+(CleanUMamba.py:568-591, asserted there at atol=0.1; fp32 here targets 1e-3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleanumamba_tpu.config import CleanUMambaConfig
+from cleanumamba_tpu.models.cleanumamba import forward, init_params
+from cleanumamba_tpu.streaming import Streamer, stream_many, stream_prime
+
+MINI = dict(
+    channels_H=32,
+    max_H=64,
+    tsfm_n_head=4,
+    tsfm_d_model=64,
+    tsfm_d_inner=128,
+    normalize_input=False,  # reference equivalence test also disables it (:570)
+)
+
+
+@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha"])
+def test_offline_equals_streaming(bottleneck):
+    cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    L = 16000
+    x = np.random.default_rng(0).normal(size=(1, L)).astype(np.float32) * 0.3
+
+    offline = np.asarray(forward(params, jnp.asarray(x), cfg))
+
+    s = Streamer(params, cfg)
+    outs = [s.feed(x[:, i : i + 1000]) for i in range(0, L, 1000)]
+    outs.append(s.flush())
+    streamed = np.concatenate(outs, axis=1)
+
+    assert streamed.shape[1] == L
+    np.testing.assert_allclose(streamed, offline, atol=1e-3, rtol=1e-3)
+
+
+def test_streaming_with_normalization_runs():
+    """With normalize_input=True offline/streaming differ by design (global
+    std vs per-frame EMA, reference :399-401) — just check sanity."""
+    cfg = CleanUMambaConfig(
+        channels_H=32, max_H=64, tsfm_n_head=4, tsfm_d_model=64, tsfm_d_inner=128
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = np.random.default_rng(0).normal(size=(1, 8000)).astype(np.float32)
+    s = Streamer(params, cfg)
+    out = np.concatenate([s.feed(x), s.flush()], axis=1)
+    assert out.shape == (1, 8000)
+    assert np.isfinite(out).all()
+
+
+def test_stream_many_matches_step_loop():
+    """On-device lax.scan streaming == python step loop."""
+    cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    ts, fl = cfg.total_stride, cfg.frame_length
+    n_frames = 6
+    rng = np.random.default_rng(1)
+    audio = rng.normal(size=(1, fl + n_frames * ts)).astype(np.float32)
+
+    state, out0 = stream_prime(params, cfg, jnp.asarray(audio[:, :fl]))
+    blocks = np.stack(
+        [audio[:, fl + i * ts : fl + (i + 1) * ts] for i in range(n_frames)]
+    )
+    _, outs_scan = stream_many(params, cfg, state, jnp.asarray(blocks))
+
+    s = Streamer(params, cfg)
+    outs = [s.feed(audio)]
+    streamed = np.concatenate(outs, axis=1)
+    # streamer emits prime + n_frames steps for this length
+    expect = np.concatenate([np.asarray(out0), np.asarray(outs_scan)], axis=1)
+    np.testing.assert_allclose(streamed, expect, atol=1e-5)
+
+
+def test_flush_tail_lengths():
+    cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    for L in (800, 1025, 4000):
+        x = np.random.default_rng(2).normal(size=(1, L)).astype(np.float32)
+        s = Streamer(params, cfg)
+        out = np.concatenate([s.feed(x), s.flush()], axis=1)
+        assert out.shape == (1, L), (L, out.shape)

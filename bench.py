@@ -1,0 +1,76 @@
+"""Headline benchmark: streaming real-time factor on the flagship model.
+
+Prints ONE JSON line:
+  {"metric": "streaming_rtf", "value": N, "unit": "x_realtime", "vs_baseline": N/10}
+
+Baseline target (BASELINE.json / BASELINE.md): >= 10x realtime streaming per
+chip.  Runs the constant-memory streaming path fully on-device
+(lax.scan over frames) on the CleanUMamba E8 full model (41.37M params,
+766-sample frames, 256-sample stride @16 kHz), the reference's flagship
+configuration.  The reference itself publishes no speed number — it only
+measures ms/frame at runtime (streaming_demo.py:183-186).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cleanumamba_tpu.config import CleanUMambaConfig
+    from cleanumamba_tpu.models.cleanumamba import init_params
+    from cleanumamba_tpu.streaming import stream_many, stream_prime
+
+    cfg = CleanUMambaConfig()  # E8 full, 41.37M params
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    ts, fl, sr = cfg.total_stride, cfg.frame_length, 16000
+    seconds = 10.0
+    n_frames = int(seconds * sr) // ts
+    rng = np.random.default_rng(0)
+    audio = rng.normal(size=(1, fl + n_frames * ts)).astype(np.float32) * 0.1
+
+    prime = jax.jit(lambda p, f: stream_prime(p, cfg, f))
+    many = jax.jit(lambda p, s, b: stream_many(p, cfg, s, b))
+
+    state, _ = prime(params, jnp.asarray(audio[:, :fl]))
+    blocks = jnp.asarray(
+        np.stack([audio[:, fl + i * ts : fl + (i + 1) * ts] for i in range(n_frames)])
+    )
+    # warmup / compile
+    st, outs = many(params, state, blocks)
+    np.asarray(outs)
+
+    # NOTE: time with a forced device->host read per rep — on the axon relay
+    # backend, block_until_ready alone can return stale-fast for repeated
+    # identical executions.
+    reps = 3
+    dts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st, outs = many(params, state, blocks)
+        np.asarray(outs)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+
+    audio_seconds = n_frames * ts / sr
+    rtf = audio_seconds / dt
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rtf",
+                "value": round(rtf, 2),
+                "unit": "x_realtime",
+                "vs_baseline": round(rtf / 10.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Training: optimiser construction + jitted data-parallel train step.
+
+Parity with the reference driver (/root/reference/src/training/train.py):
+- Adam (all-param weight decay as L2-into-grad) or AdamW with decay applied
+  only to dim>=2 params (train.py:129-152, nanoGPT-style split :133-138);
+- grad-norm clipping (clip_grad_norm_max, :303-309);
+- gradient accumulation ``batch_size_total / (per_device * n_devices)``
+  (:232-233) — here a ``lax.scan`` over micro-batches inside one jitted step;
+- mixed precision: TPU bf16 compute with fp32 master params replaces
+  AMP+GradScaler (train.py:156-160); bf16 needs no loss scaling (survey N8).
+
+Distribution: batch sharded over a 1-D mesh, params replicated; XLA emits
+the gradient all-reduce over ICI (replaces train_distributed.py:97-149).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cleanumamba_tpu.config import (
+    CleanUMambaConfig,
+    LossConfig,
+    OptimizationConfig,
+)
+from cleanumamba_tpu.losses import loss_fn
+from cleanumamba_tpu.models.cleanumamba import forward
+from cleanumamba_tpu.train.schedule import linear_warmup_cosine_decay
+
+
+def make_optimizer(opt_cfg: OptimizationConfig, schedule=None) -> optax.GradientTransformation:
+    if schedule is None:
+        schedule = linear_warmup_cosine_decay(opt_cfg.learning_rate, opt_cfg.n_iters)
+    b1, b2 = opt_cfg.betas
+    chain = [optax.clip_by_global_norm(opt_cfg.clip_grad_norm_max)]
+    if opt_cfg.optimizer == "adam":
+        # torch Adam applies weight_decay as L2 added to the gradient
+        if opt_cfg.weight_decay:
+            chain.append(optax.add_decayed_weights(opt_cfg.weight_decay))
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=opt_cfg.eps))
+    elif opt_cfg.optimizer == "adamw":
+        chain.append(optax.scale_by_adam(b1=b1, b2=b2, eps=opt_cfg.eps))
+        if opt_cfg.weight_decay:
+            # decoupled decay only on dim>=2 tensors (train.py:133-138)
+            chain.append(
+                optax.add_decayed_weights(
+                    opt_cfg.weight_decay,
+                    mask=lambda params: jax.tree_util.tree_map(
+                        lambda p: p.ndim >= 2, params
+                    ),
+                )
+            )
+    else:
+        raise ValueError(opt_cfg.optimizer)
+    chain.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*chain)
+
+
+def make_train_step(
+    model_cfg: CleanUMambaConfig,
+    loss_cfg: LossConfig,
+    optimizer: optax.GradientTransformation,
+    bf16: bool = True,
+    scan_chunk: int = 32,
+) -> Callable:
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
+
+    batch: (clean, noisy) each (accum, B, L) — the leading axis is scanned
+    for gradient accumulation (pass accum=1 for plain steps).
+    """
+
+    def micro_loss(params, clean, noisy):
+        p = params
+        if bf16:
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+                params,
+            )
+        denoised = forward(p, noisy, model_cfg, chunk=scan_chunk)
+        loss, aux = loss_fn(denoised.astype(jnp.float32), clean.astype(jnp.float32), loss_cfg)
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+
+    def train_step(params, opt_state, batch):
+        clean, noisy = batch
+
+        def micro(acc, xs):
+            c, n = xs
+            (loss, aux), grads = grad_fn(params, c, n)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, (loss, aux)
+
+        zero = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        grads, (losses, auxs) = jax.lax.scan(micro, zero, (clean, noisy))
+        n_micro = clean.shape[0]
+        grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux = {k: jnp.mean(v) for k, v in auxs.items()}
+        aux["grad_norm"] = grad_norm
+        return params, opt_state, aux
+
+    return train_step
+
+
+def shard_train_step(train_step, mesh: Mesh):
+    """jit the step with batch sharded over the mesh's data axis and params
+    replicated — XLA inserts the psum gradient reduction over ICI."""
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(None, "data"))  # (accum, B, L): shard B
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, repl, (batch_sh, batch_sh)),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+@dataclasses.dataclass
+class TrainState:
+    """Checkpointable training state (parity with the reference ckpt dict
+    fields, train.py:362-371)."""
+
+    step: int
+    params: Any
+    opt_state: Any
+    run_id: Optional[str] = None
+    training_time_seconds: float = 0.0

@@ -1,0 +1,77 @@
+"""Finetuning CLI for (pruned) checkpoints (reference
+src/training/train_finetune.py): load a ragged checkpoint, fresh Adam +
+warmup-cosine, the same loss/validation loop as train.py."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cleanumamba_tpu.cli.denoise import load_any_checkpoint
+from cleanumamba_tpu.config import LossConfig, OptimizationConfig, load_train_config
+from cleanumamba_tpu.data import (
+    CleanNoisyPairDataset,
+    SyntheticDenoiseDataset,
+    make_loader,
+)
+from cleanumamba_tpu.eval.validate import validate
+from cleanumamba_tpu.models.cleanumamba import count_params
+from cleanumamba_tpu.train.checkpoint import save_checkpoint
+from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="(pruned) checkpoint to finetune")
+    ap.add_argument("-c", "--config", default=None, help="global config JSON")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--iters", type=int, default=10_000)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--crop-sec", type=float, default=10.0)
+    ap.add_argument("--out", default="./exp/finetune/checkpoint")
+    ap.add_argument("--log-every", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    cfg, params, meta = load_any_checkpoint(args.ckpt)
+    print(f"finetuning {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
+
+    loss_cfg = load_train_config(args.config).loss if args.config else LossConfig()
+    opt_cfg = OptimizationConfig(n_iters=args.iters, learning_rate=args.lr)
+    optimizer = make_optimizer(opt_cfg)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=opt_cfg.bf16),
+                   donate_argnums=(0, 1))
+
+    if args.synthetic or not args.data_root:
+        ds = SyntheticDenoiseDataset(crop_length_sec=args.crop_sec)
+        val_ds = SyntheticDenoiseDataset(n_items=8, crop_length_sec=args.crop_sec, seed=99)
+    else:
+        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec)
+        val_ds = CleanNoisyPairDataset(args.data_root, "testing")
+    loader = make_loader(ds, args.batch_size)
+
+    L = int(args.crop_sec * 16000)
+    t0 = time.time()
+    for n_iter in range(args.iters):
+        clean, noisy = next(loader)
+        batch = (jnp.asarray(clean[None]), jnp.asarray(noisy[None]))
+        params, opt_state, aux = step(params, opt_state, batch)
+        if n_iter % args.log_every == 0:
+            print(f"iter {n_iter}: loss={float(aux['loss']):.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        if n_iter % 1000 == 0 and n_iter > 0:
+            metrics = validate(params, cfg, val_ds, max_items=4, pad_to=L)
+            print("valid " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+    save_checkpoint(args.out, args.iters - 1, params, opt_state, cfg,
+                    training_time_seconds=time.time() - t0)
+    print(f"saved to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Pruning CLI (reference src/training/pruning.py:250-289).
+
+Usage:
+    python -m cleanumamba_tpu.cli.prune -t <teacher ckpt> \
+        -e configs/exp/pruning/DNS-CleanUMamba-Pruning12.json [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from cleanumamba_tpu.cli.denoise import load_any_checkpoint
+from cleanumamba_tpu.config import LossConfig
+from cleanumamba_tpu.data import SyntheticDenoiseDataset, CleanNoisyPairDataset, make_loader
+from cleanumamba_tpu.eval.validate import validate
+from cleanumamba_tpu.models.cleanumamba import count_params
+from cleanumamba_tpu.prune.driver import PruningConfig, pruning_pipeline
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-t", "--teacher", required=True, help="checkpoint to prune")
+    ap.add_argument("-e", "--exp", required=True, help="pruning experiment JSON")
+    ap.add_argument("--data-root", default=None)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--crop-sec", type=float, default=10.0)
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--out", default="./exp")
+    args = ap.parse_args(argv)
+
+    with open(args.exp) as f:
+        raw = json.load(f)
+    pc_raw = raw.get("pruning_config", {})
+    known = {f.name for f in PruningConfig.__dataclass_fields__.values()}
+    rename = {"n_prune_channels_per_iter": "n_prune_channels_per_iter"}
+    pcfg = PruningConfig(**{k: v for k, v in pc_raw.items() if k in known})
+
+    cfg, params, meta = load_any_checkpoint(args.teacher)
+    print(f"teacher: {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
+
+    if args.synthetic or not args.data_root:
+        ds = SyntheticDenoiseDataset(crop_length_sec=args.crop_sec)
+        val_ds = SyntheticDenoiseDataset(n_items=8, crop_length_sec=args.crop_sec, seed=77)
+    else:
+        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec)
+        val_ds = CleanNoisyPairDataset(args.data_root, "testing")
+
+    loader = make_loader(ds, args.batch_size)
+    ckpt_dir = os.path.join(args.out, raw.get("exp_path", "pruning"), "checkpoint")
+
+    def validate_fn(p):
+        return validate(p, cfg, val_ds, max_items=4,
+                        pad_to=int(args.crop_sec * 16000))
+
+    def log_fn(rec):
+        print(json.dumps({k: v for k, v in rec.items()}), flush=True)
+
+    params, opt_state, history, stopped = pruning_pipeline(
+        params, cfg, LossConfig(), loader, pcfg,
+        batch_size=args.batch_size, ckpt_dir=ckpt_dir,
+        validate_fn=validate_fn, log_fn=log_fn, max_iters=args.max_iters,
+    )
+    print(f"stopped: {stopped} | final params {count_params(params)/1e6:.3f}M")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,158 @@
+"""Training CLI (reference src/training/train.py:381-430 +
+train_distributed.py — the multi-process launcher is replaced by
+single-program data parallelism over all local devices).
+
+Usage:
+    python -m cleanumamba_tpu.cli.train -c configs/config.json \
+        -e configs/exp/models/DNS-CleanUMamba-3N-E8.json [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cleanumamba_tpu.config import (
+    CleanUMambaConfig,
+    load_experiment_config,
+    load_train_config,
+)
+from cleanumamba_tpu.data import (
+    CleanNoisyPairDataset,
+    SyntheticDenoiseDataset,
+    make_loader,
+)
+from cleanumamba_tpu.eval.validate import validate
+from cleanumamba_tpu.models.cleanumamba import count_params, init_params
+from cleanumamba_tpu.parallel.mesh import make_mesh
+from cleanumamba_tpu.train.checkpoint import (
+    find_max_epoch,
+    load_checkpoint,
+    save_checkpoint,
+)
+from cleanumamba_tpu.train.schedule import linear_warmup_cosine_decay
+from cleanumamba_tpu.train.trainer import (
+    make_optimizer,
+    make_train_step,
+    shard_train_step,
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True, help="global config JSON")
+    ap.add_argument("-e", "--exp", required=True, help="experiment JSON")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="use the synthetic dataset (no DNS download needed)")
+    ap.add_argument("--max-iters", type=int, default=None)
+    ap.add_argument("--log-every", type=int, default=100)
+    args = ap.parse_args(argv)
+
+    tc = load_train_config(args.config)
+    network, cfg, raw_exp = load_experiment_config(args.exp)
+    exp_path = raw_exp.get("exp_path", "exp")
+    ckpt_dir = os.path.join(tc.log_directory, exp_path, "checkpoint")
+
+    opt = tc.optimization
+    n_devices = len(jax.devices())
+    per_step_batch = opt.batch_size_per_device * n_devices
+    accum = max(1, opt.batch_size_total // per_step_batch)
+
+    print(f"model: {network} ({cfg.bottleneck}) | devices: {n_devices} | "
+          f"batch/step: {per_step_batch} x accum {accum}")
+
+    key = jax.random.PRNGKey(0)
+    params = init_params(key, cfg)
+    print(f"params: {count_params(params)/1e6:.3f}M")
+
+    optimizer = make_optimizer(opt)
+    opt_state = optimizer.init(params)
+
+    # resume (reference train.py:166-227)
+    start_iter = 0
+    run_id = None
+    t_prev = 0.0
+    ck_iter = find_max_epoch(ckpt_dir) if tc.ckpt_iter == "max" else int(tc.ckpt_iter)
+    if ck_iter >= 0:
+        ck = load_checkpoint(os.path.join(ckpt_dir, f"{ck_iter}.pkl"))
+        params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+        if ck.get("opt_state") is not None:
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, v: jnp.asarray(v), opt_state, ck["opt_state"]
+            )
+        start_iter = ck["iter"] + 1
+        run_id = ck.get("run_id")
+        t_prev = ck.get("training_time_seconds", 0.0)
+        print(f"resumed from iter {ck['iter']}")
+
+    step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16)
+    if n_devices > 1:
+        mesh = make_mesh()
+        step_fn = shard_train_step(step_fn, mesh)
+        ctx = mesh
+    else:
+        step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+
+    if args.synthetic or not tc.data_root or not os.path.isdir(tc.data_root):
+        if not args.synthetic:
+            print(f"data root {tc.data_root!r} not found -> synthetic dataset")
+        ds = SyntheticDenoiseDataset(crop_length_sec=tc.crop_length_sec,
+                                     sample_rate=tc.sample_rate)
+        val_ds = SyntheticDenoiseDataset(n_items=16, crop_length_sec=tc.crop_length_sec,
+                                         sample_rate=tc.sample_rate, seed=1234)
+    else:
+        ds = CleanNoisyPairDataset(tc.data_root, "training", tc.crop_length_sec,
+                                   tc.sample_rate)
+        val_ds = CleanNoisyPairDataset(tc.data_root, "testing",
+                                       sample_rate=tc.sample_rate)
+    loader = make_loader(ds, per_step_batch * accum)
+
+    n_iter = start_iter
+    t0 = time.time() - t_prev
+    L = int(tc.crop_length_sec * tc.sample_rate)
+    max_iters = args.max_iters or opt.n_iters
+    with ctx:
+        while n_iter < max_iters:
+            clean, noisy = next(loader)
+            clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
+            noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
+            params, opt_state, aux = step_fn(params, opt_state, (clean, noisy))
+
+            if n_iter % args.log_every == 0:
+                print(
+                    f"iter {n_iter}: loss={float(aux['loss']):.4f} "
+                    f"rec={float(aux['reconstruct']):.4f} "
+                    f"sc={float(aux.get('stft_sc', 0)):.4f} "
+                    f"mag={float(aux.get('stft_mag', 0)):.4f} "
+                    f"gnorm={float(aux['grad_norm']):.3f} "
+                    f"({time.time()-t0:.0f}s)",
+                    flush=True,
+                )
+            if n_iter % tc.iters_per_valid == 0 and n_iter > 0:
+                metrics = validate(params, cfg, val_ds, max_items=4, pad_to=L)
+                print(f"iter {n_iter}: valid " + " ".join(
+                    f"{k}={v:.3f}" for k, v in metrics.items()))
+            if n_iter % tc.iters_per_ckpt == 0 and n_iter > 0:
+                path = save_checkpoint(
+                    ckpt_dir, n_iter, params, opt_state, cfg, run_id=run_id,
+                    training_time_seconds=time.time() - t0,
+                )
+                print(f"saved {path}")
+            n_iter += 1
+
+    save_checkpoint(ckpt_dir, n_iter - 1, params, opt_state, cfg, run_id=run_id,
+                    training_time_seconds=time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

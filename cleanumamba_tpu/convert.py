@@ -28,6 +28,11 @@ import numpy as np
 from cleanumamba_tpu.config import CleanUMambaConfig
 
 
+def _static_int(v):
+    from cleanumamba_tpu.models.bottleneck_s4 import StaticInt
+    return StaticInt(v)
+
+
 def _to_np(t) -> np.ndarray:
     return np.asarray(t.detach().to("cpu").float().numpy(), dtype=np.float32)
 
@@ -215,7 +220,7 @@ def _convert_bottleneck(sd, cfg: CleanUMambaConfig):
                     "C": _to_np(sd[f"{p}.ssm.layer.kernel.C"]),
                     "P": _to_np(sd[f"{p}.ssm.layer.kernel.P"]),
                     "inv_dt": _to_np(sd[f"{p}.ssm.layer.kernel.inv_dt"]),
-                    "l_kernel": int(sd[f"{p}.ssm.layer.kernel.l_kernel"]),
+                    "l_kernel": _static_int(int(sd[f"{p}.ssm.layer.kernel.l_kernel"])),
                 },
                 "ssm_D": _to_np(sd[f"{p}.ssm.layer.D"]),
                 "output_linear_w": _lin_w(sd[f"{p}.ssm.output_linear.0.weight"]),

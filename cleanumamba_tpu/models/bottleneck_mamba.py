@@ -37,8 +37,11 @@ def mixer_dims(p):
     return d_model, d_inner, d_state, dt_rank, d_conv
 
 
-def mixer_forward(p, x, chunk: int = 32):
-    """Offline forward.  x: (B, T, d_model) -> (B, T, d_model)."""
+def mixer_forward(p, x, chunk: int = 32, scan_impl: str = "auto"):
+    """Offline forward.  x: (B, T, d_model) -> (B, T, d_model).
+
+    scan_impl: "xla" (chunked associative scan), "pallas" (fused TPU kernel),
+    or "auto" (pallas on TPU, xla elsewhere)."""
     _, d_inner, d_state, dt_rank, _ = mixer_dims(p)
     xz = x @ p["in_proj"].astype(x.dtype)  # (B, T, 2*d_inner)
     xs, z = xz[..., :d_inner], xz[..., d_inner:]
@@ -51,7 +54,17 @@ def mixer_forward(p, x, chunk: int = 32):
     dt = dt @ p["dt_proj_w"].astype(dt.dtype) + p["dt_proj_b"].astype(dt.dtype)
     dt = jax.nn.softplus(dt.astype(jnp.float32))
     A = -jnp.exp(p["A_log"].astype(jnp.float32))
-    y, _ = selective_scan(xs, dt, A, B, C, p["D"], chunk=chunk)
+    if scan_impl == "auto":
+        from cleanumamba_tpu.ops.pallas.selective_scan import pallas_available
+
+        scan_impl = "pallas" if pallas_available() else "xla"
+    if scan_impl == "pallas":
+        from cleanumamba_tpu.ops.pallas.selective_scan import selective_scan_auto
+
+        h0 = jnp.zeros((xs.shape[0], d_inner, d_state), jnp.float32)
+        y, _ = selective_scan_auto(xs, dt, A, B, C, p["D"], h0, chunk)
+    else:
+        y, _ = selective_scan(xs, dt, A, B, C, p["D"], chunk=chunk)
     y = y * jax.nn.silu(z)
     return y @ p["out_proj"].astype(y.dtype)
 

@@ -74,7 +74,9 @@ def decoder_level(p, x, cfg: CleanUMambaConfig, enc_i: int, relu: bool):
     return x
 
 
-def bottleneck_forward(params: Params, x, cfg: CleanUMambaConfig, chunk: int = 32):
+def bottleneck_forward(
+    params: Params, x, cfg: CleanUMambaConfig, chunk: int = 32, scan_impl: str = "auto"
+):
     """Bottleneck over (B, T, d_model) features; returns same shape.
 
     Mamba-family: pre-norm residual blocks with fp32 residual stream +
@@ -102,7 +104,10 @@ def bottleneck_forward(params: Params, x, cfg: CleanUMambaConfig, chunk: int = 3
                 residual, lp["norm"]["scale"], lp["norm"]["bias"], cfg.norm_epsilon
             )
         hidden = hidden.astype(x.dtype)
-        hidden = mixer.mixer_forward(lp["mixer"], hidden, chunk=chunk)
+        if cfg.bottleneck == "mamba":
+            hidden = mixer.mixer_forward(lp["mixer"], hidden, chunk=chunk, scan_impl=scan_impl)
+        else:
+            hidden = mixer.mixer_forward(lp["mixer"], hidden, chunk=chunk)
     residual = hidden.astype(jnp.float32) + residual
     nf = params["norm_f"]
     if cfg.rms_norm:
@@ -118,6 +123,7 @@ def forward(
     cfg: CleanUMambaConfig,
     return_skips: bool = False,
     chunk: int = 32,
+    scan_impl: str = "auto",
 ):
     """Offline denoising forward (reference CleanUMamba.forward :252-324).
 
@@ -149,7 +155,7 @@ def forward(
     skips = skips[::-1]
 
     x = x @ params["tsfm_conv1"]["w"][0].astype(x.dtype) + params["tsfm_conv1"]["b"].astype(x.dtype)
-    tsfm_out = bottleneck_forward(params["bottleneck"], x, cfg, chunk=chunk)
+    tsfm_out = bottleneck_forward(params["bottleneck"], x, cfg, chunk=chunk, scan_impl=scan_impl)
     x = tsfm_out @ params["tsfm_conv2"]["w"][0].astype(x.dtype) + params["tsfm_conv2"]["b"].astype(x.dtype)
 
     n_dec = len(params["decoder"])
@@ -289,4 +295,26 @@ def _init_bottleneck(key, cfg: CleanUMambaConfig, dtype) -> Params:
 
 
 def count_params(params) -> int:
-    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+    return sum(
+        int(x.size)
+        for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "size")  # skip python-int metadata (e.g. S4 l_kernel)
+    )
+
+
+def prepare_for_length(params: Params, cfg: CleanUMambaConfig, L: int) -> Params:
+    """Make params valid for inputs of length L.
+
+    For the Mamba-S4 bottleneck this extends each layer's attuned kernel
+    length (host-side doubling transform) to cover the bottleneck sequence
+    length; a no-op for other bottlenecks."""
+    if cfg.bottleneck != "mamba_s4":
+        return params
+    from cleanumamba_tpu.models.bottleneck_s4 import extend_kernel_length
+
+    bott_len = cfg.valid_length(L) // cfg.total_stride
+    for l, layer in enumerate(params["bottleneck"]["layers"]):
+        layer["mixer"]["kernel"] = extend_kernel_length(
+            layer["mixer"]["kernel"], bott_len
+        )
+    return params

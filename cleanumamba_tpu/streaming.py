@@ -45,10 +45,15 @@ from cleanumamba_tpu.models import (
     bottleneck_mamba,
     bottleneck_mamba2,
     bottleneck_mha,
+    bottleneck_s4,
 )
 from cleanumamba_tpu.ops.norms import layer_norm, rms_norm
 
-_STEP_MIXERS = {"mamba": bottleneck_mamba, "mamba2": bottleneck_mamba2}
+_STEP_MIXERS = {
+    "mamba": bottleneck_mamba,
+    "mamba2": bottleneck_mamba2,
+    "mamba_s4": bottleneck_s4,
+}
 
 
 def _level_lengths(cfg: CleanUMambaConfig) -> List[int]:
@@ -273,6 +278,9 @@ class Streamer:
         self.batch = batch
         self._prime = jax.jit(lambda p, f: stream_prime(p, cfg, f, dtype))
         self._step = jax.jit(lambda p, s, n: stream_step(p, cfg, s, n, dtype))
+        # multi-frame scan: one device dispatch per feed() instead of one per
+        # 16 ms frame (crucial when host<->device latency is high)
+        self._many = jax.jit(lambda p, s, b: stream_many(p, cfg, s, b, dtype))
         self.state = None
         self.pending = np.zeros((batch, 0), np.float32)
         self.fed = 0
@@ -294,11 +302,19 @@ class Streamer:
         if self.state is not None:
             # after prime, pending holds >= fl - ts samples of already-seen
             # tail; step whenever a full new stride block is available
-            while self.pending.shape[1] >= fl:
+            n_frames = max(0, (self.pending.shape[1] - fl) // ts + 1) if self.pending.shape[1] >= fl else 0
+            if n_frames == 1:
                 new = self.pending[:, fl - ts : fl]
                 self.state, out = self._step(self.params, self.state, jnp.asarray(new))
                 outs.append(np.asarray(out))
                 self.pending = self.pending[:, ts:]
+            elif n_frames > 1:
+                blocks = np.stack(
+                    [self.pending[:, fl - ts + k * ts : fl + k * ts] for k in range(n_frames)]
+                )
+                self.state, out = self._many(self.params, self.state, jnp.asarray(blocks))
+                outs.append(np.asarray(out))
+                self.pending = self.pending[:, n_frames * ts :]
         if outs:
             out = np.concatenate(outs, axis=1)
             self.emitted += out.shape[1]

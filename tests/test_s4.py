@@ -1,0 +1,115 @@
+"""S4 DPLR kernel tests.
+
+The strongest check mirrors the reference's own consistency test
+(S4_fuctions.py:_check:1421-1433): the kernel produced by the frequency-
+domain generating function must equal the Krylov sequence dC dA^t dB of the
+dense discretised system."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cleanumamba_tpu.config import CleanUMambaConfig
+from cleanumamba_tpu.models import bottleneck_s4 as s4
+
+MINI = dict(
+    channels_H=32, max_H=64, tsfm_n_head=4, tsfm_d_model=64, tsfm_d_inner=128,
+    bottleneck="mamba_s4", normalize_input=False,
+)
+
+
+def _fresh_kernel(L=48):
+    cfg = CleanUMambaConfig(**MINI)
+    p = s4.mixer_init(jax.random.PRNGKey(0), cfg)
+    p["kernel"] = s4.extend_kernel_length(p["kernel"], L)
+    return p
+
+
+def _krylov_kernel(kp, L):
+    dA, dB = map(np.asarray, s4._dense_discrete(kp))
+    dC = np.asarray(s4._dC_from_Ctilde(kp, jnp.asarray(dA)))
+    H, N2 = dB.shape
+    C = dC.shape[0]
+    K = np.zeros((C, H, L))
+    s = dB.copy()  # state after one input impulse
+    for t in range(L):
+        K[:, :, t] = np.einsum("chn,hn->ch", dC, s).real
+        s = np.einsum("hmn,hn->hm", dA, s)
+    return K
+
+
+def test_kernel_matches_krylov_fresh():
+    p = _fresh_kernel(L=48)
+    k = np.asarray(s4.s4_dplr_kernel(p["kernel"], 48))
+    k_ref = _krylov_kernel(p["kernel"], 48)
+    np.testing.assert_allclose(k, k_ref, atol=1e-4, rtol=1e-3)
+
+
+def test_kernel_doubling_consistent():
+    p = _fresh_kernel(L=32)
+    k32 = np.asarray(s4.s4_dplr_kernel(p["kernel"], 32))
+    kp2 = s4.extend_kernel_length(p["kernel"], 100)
+    assert int(kp2["l_kernel"]) >= 100
+    k_long = np.asarray(s4.s4_dplr_kernel(kp2, 100))
+    # the first 32 taps must agree after doubling
+    np.testing.assert_allclose(k_long[..., :32], k32, atol=1e-4, rtol=1e-3)
+    # and match the dense recurrence at the longer length
+    np.testing.assert_allclose(k_long, _krylov_kernel(kp2, 100), atol=1e-4, rtol=1e-3)
+
+
+def test_mixer_offline_equals_streaming():
+    cfg = CleanUMambaConfig(**MINI)
+    p = s4.mixer_init(jax.random.PRNGKey(1), cfg)
+    T = 40
+    p["kernel"] = s4.extend_kernel_length(p["kernel"], T)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, T, 64)) * 0.5, jnp.float32)
+    y_off = np.asarray(s4.mixer_forward(p, x))
+    cache = s4.mixer_init_cache(p, 2)
+    ys = []
+    for t in range(T):
+        cache, y = s4.mixer_step(p, cache, x[:, t, :])
+        ys.append(np.asarray(y))
+    y_str = np.stack(ys, axis=1)
+    np.testing.assert_allclose(y_str, y_off, atol=1e-3, rtol=1e-3)
+
+
+def test_full_model_s4():
+    from cleanumamba_tpu.models.cleanumamba import forward, init_params, count_params
+
+    cfg = CleanUMambaConfig(**MINI)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    # attune kernels before running
+    for l in range(cfg.tsfm_n_layers):
+        lp = params["bottleneck"]["layers"][l]["mixer"]
+        lp["kernel"] = s4.extend_kernel_length(lp["kernel"], 256)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 8000)) * 0.2, jnp.float32)
+    y = forward(params, x, cfg)
+    assert y.shape == (1, 8000)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_reference_checkpoint_s4():
+    import os
+
+    if not os.path.isdir("/root/reference/checkpoints"):
+        pytest.skip("reference not mounted")
+    from cleanumamba_tpu.convert import load_reference_checkpoint
+    from cleanumamba_tpu.models.cleanumamba import forward
+
+    cfg, params, _ = load_reference_checkpoint(
+        "/root/reference/checkpoints/experiments/Experiment_CleanU_MambaS4.pkl"
+    )
+    assert cfg.bottleneck == "mamba_s4"
+    # param count parity: 450,964 (survey baseline "Mamba-S4 451K")
+    n = sum(
+        int(np.asarray(x).size)
+        for x in jax.tree_util.tree_leaves(params)
+        if hasattr(x, "size")
+    )
+    assert n == 450_964 - 3  # 3 l_kernel scalars held as python ints
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4000)) * 0.1, jnp.float32)
+    y = forward(params, x, cfg)
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(jnp.abs(y).max()) < 10.0

@@ -22,11 +22,15 @@ MINI = dict(
 )
 
 
-@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha"])
+@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha", "mamba_s4"])
 def test_offline_equals_streaming(bottleneck):
     cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)
     L = 16000
+    if bottleneck == "mamba_s4":
+        from cleanumamba_tpu.models.cleanumamba import prepare_for_length
+
+        params = prepare_for_length(params, cfg, 2 * L)
     x = np.random.default_rng(0).normal(size=(1, L)).astype(np.float32) * 0.3
 
     offline = np.asarray(forward(params, jnp.asarray(x), cfg))

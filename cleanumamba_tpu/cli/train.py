@@ -28,6 +28,7 @@ from cleanumamba_tpu.data import (
     CleanNoisyPairDataset,
     SyntheticDenoiseDataset,
     make_loader,
+    make_training_loader,
 )
 from cleanumamba_tpu.eval.validate import validate
 from cleanumamba_tpu.models.cleanumamba import count_params, init_params
@@ -115,7 +116,7 @@ def main(argv=None):
                                    tc.sample_rate)
         val_ds = CleanNoisyPairDataset(tc.data_root, "testing",
                                        sample_rate=tc.sample_rate)
-    loader = make_loader(ds, per_step_batch * accum)
+    loader = make_training_loader(ds, per_step_batch * accum)
 
     n_iter = start_iter
     t0 = time.time() - t_prev

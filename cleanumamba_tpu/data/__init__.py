@@ -5,6 +5,7 @@ from cleanumamba_tpu.data.dataset import (
     SyntheticDenoiseDataset,
     NoisyOnlyDataset,
     make_loader,
+    make_training_loader,
 )
 
 __all__ = [
@@ -12,4 +13,5 @@ __all__ = [
     "SyntheticDenoiseDataset",
     "NoisyOnlyDataset",
     "make_loader",
+    "make_training_loader",
 ]

@@ -216,6 +216,27 @@ def make_loader(
     return _prefetch_iterator(gen(), prefetch)
 
 
+def make_training_loader(dataset, batch_size: int, seed: int = 0,
+                         n_threads: int = 4, prefer_native: bool = True):
+    """Training loader that uses the C++ decode/crop/batch pipeline
+    (data/native/wavloader.cpp) when the dataset is file-backed and the
+    toolchain is present; otherwise the Python loader."""
+    if prefer_native and isinstance(dataset, CleanNoisyPairDataset) and dataset.subset == "training":
+        try:
+            from cleanumamba_tpu.data.native_loader import NativeWavLoader, native_available
+
+            if native_available():
+                clean_paths = [c for c, _ in dataset.pairs]
+                noisy_paths = [n for _, n in dataset.pairs]
+                return NativeWavLoader(
+                    clean_paths, noisy_paths, dataset.crop_len, batch_size,
+                    n_threads=n_threads, seed=seed,
+                )
+        except Exception:
+            pass
+    return make_loader(dataset, batch_size, seed=seed)
+
+
 def _prefetch_iterator(it, depth: int):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()

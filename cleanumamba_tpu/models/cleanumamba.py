@@ -49,17 +49,22 @@ _MIXERS = {
 # Forward
 # --------------------------------------------------------------------------
 
-def encoder_level(p, x, cfg: CleanUMambaConfig, i: int):
+def encoder_level(p, x, cfg: CleanUMambaConfig, i: int, tap=None):
     """One encoder level: strided conv -> ReLU -> 1x1 -> GLU
-    (reference CleanUMamba.py:108-113)."""
+    (reference CleanUMamba.py:108-113).  ``tap(name, tensor)`` collects
+    activation telemetry at the pruning groups' hook points."""
     groups = cfg.group_of_layer(i)
     K, S = cfg.kernel_size, cfg.stride
     if groups == 1 and K == 2 * S:
         x = conv1d_strided_matmul(x, p["conv_w"], p["conv_b"], stride=S)
     else:
         x = conv1d(x, p["conv_w"], p["conv_b"], stride=S, groups=groups)
+    if tap is not None:
+        tap(f"enc_conv_{i}", x)
     x = jax.nn.relu(x)
     x = x @ p["mix_w"][0].astype(x.dtype) + p["mix_b"].astype(x.dtype)
+    if tap is not None:
+        tap(f"enc_out_{i}", x)
     return glu_activation(x, cfg.glu_activation, cfg.bypass_of_layer(i))
 
 
@@ -75,7 +80,8 @@ def decoder_level(p, x, cfg: CleanUMambaConfig, enc_i: int, relu: bool):
 
 
 def bottleneck_forward(
-    params: Params, x, cfg: CleanUMambaConfig, chunk: int = 32, scan_impl: str = "auto"
+    params: Params, x, cfg: CleanUMambaConfig, chunk: int = 32,
+    scan_impl: str = "auto", tap=None,
 ):
     """Bottleneck over (B, T, d_model) features; returns same shape.
 
@@ -91,7 +97,7 @@ def bottleneck_forward(
     mixer = _MIXERS[cfg.bottleneck]
     hidden = x
     residual = None
-    for lp in params["layers"]:
+    for l, lp in enumerate(params["layers"]):
         residual = (
             hidden.astype(jnp.float32) + residual
             if residual is not None
@@ -105,6 +111,10 @@ def bottleneck_forward(
             )
         hidden = hidden.astype(x.dtype)
         if cfg.bottleneck == "mamba":
+            if tap is not None:
+                # d_inner group telemetry: in_proj output on the normed input
+                # (XLA CSEs this with the matmul inside the mixer)
+                tap(f"d_inner_xz_{l}", hidden @ lp["mixer"]["in_proj"].astype(hidden.dtype))
             hidden = mixer.mixer_forward(lp["mixer"], hidden, chunk=chunk, scan_impl=scan_impl)
         else:
             hidden = mixer.mixer_forward(lp["mixer"], hidden, chunk=chunk)
@@ -292,6 +302,51 @@ def _init_bottleneck(key, cfg: CleanUMambaConfig, dtype) -> Params:
     if not cfg.rms_norm:
         norm_f["bias"] = jnp.zeros((cfg.tsfm_d_model,), dtype)
     return {"layers": layers, "norm_f": norm_f}
+
+
+def forward_with_telemetry(params: Params, noisy, cfg: CleanUMambaConfig,
+                           chunk: int = 32):
+    """Forward that also returns per-channel activation variances at the
+    pruning groups' telemetry points (replaces the reference's forward hooks,
+    pruninggroup.py:79-158).  Returns (denoised, {tap_name: var (C,)})."""
+    taps: Dict[str, Any] = {}
+
+    def tap(name, x):
+        xf = x.astype(jnp.float32)
+        taps[name] = jnp.var(xf.reshape(-1, xf.shape[-1]), axis=0)
+
+    if noisy.ndim == 3:
+        noisy = noisy.reshape(noisy.shape[0], -1)
+    B, L = noisy.shape
+    x = noisy[..., None]
+    if cfg.normalize_input:
+        std = jnp.std(x, axis=1, keepdims=True) + 1e-3
+        x = x / std
+    Lv = cfg.valid_length(L)
+    x = jnp.pad(x, ((0, 0), (0, Lv - L), (0, 0)))
+    skips = []
+    for i, ep in enumerate(params["encoder"]):
+        x = encoder_level(ep, x, cfg, i, tap=tap)
+        skips.append(x)
+    skips = skips[::-1]
+    x = x @ params["tsfm_conv1"]["w"][0].astype(x.dtype) + params["tsfm_conv1"]["b"].astype(x.dtype)
+    tap("d_model_in", x)
+    tsfm_out = bottleneck_forward(params["bottleneck"], x, cfg, chunk=chunk, tap=tap)
+    x = tsfm_out @ params["tsfm_conv2"]["w"][0].astype(x.dtype) + params["tsfm_conv2"]["b"].astype(x.dtype)
+    n_dec = len(params["decoder"])
+    for j, dp in enumerate(params["decoder"]):
+        x = x + skips[j][:, : x.shape[1], :]
+        enc_i = n_dec - 1 - j
+        mix = x @ dp["mix_w"][0].astype(x.dtype) + dp["mix_b"].astype(x.dtype)
+        tap(f"dec_mix_{j}", mix)
+        x = glu_activation(mix, cfg.glu_activation, cfg.bypass_of_layer(enc_i))
+        x = conv_transpose1d(x, dp["convt_w"], dp["convt_b"], stride=cfg.stride)
+        if j != n_dec - 1:
+            x = jax.nn.relu(x)
+    y = x[:, :L, 0]
+    if cfg.normalize_input:
+        y = y * std[:, 0, :]
+    return y, taps
 
 
 def count_params(params) -> int:

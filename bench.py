@@ -4,11 +4,15 @@ Prints ONE JSON line:
   {"metric": "streaming_rtf", "value": N, "unit": "x_realtime", "vs_baseline": N/10}
 
 Baseline target (BASELINE.json / BASELINE.md): >= 10x realtime streaming per
-chip.  Runs the constant-memory streaming path fully on-device
-(lax.scan over frames) on the CleanUMamba E8 full model (41.37M params,
-766-sample frames, 256-sample stride @16 kHz), the reference's flagship
-configuration.  The reference itself publishes no speed number — it only
-measures ms/frame at runtime (streaming_demo.py:183-186).
+chip.  Runs the constant-memory streaming path fully on-device on the
+CleanUMamba E8 full model (41.37M params, 766-sample frames, 256-sample
+stride @16 kHz), the reference's flagship configuration, in block-streaming
+mode with 16-frame (256 ms) blocks — the same chunk granularity the
+reference's own streaming demo uses (streaming_demo.py CHUNK=4096).  Within a
+block only the SSM state is sequential; encoder/decoder parallelise and
+weights stream from HBM once per block (docs/performance.md).  The reference
+itself publishes no speed number — it only measures ms/frame at runtime
+(streaming_demo.py:183-186).
 """
 
 import json
@@ -24,7 +28,7 @@ def main():
 
     from cleanumamba_tpu.config import CleanUMambaConfig
     from cleanumamba_tpu.models.cleanumamba import init_params
-    from cleanumamba_tpu.streaming import stream_many, stream_prime
+    from cleanumamba_tpu.streaming import stream_prime, stream_step_block
 
     cfg = CleanUMambaConfig()  # E8 full, 41.37M params
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -40,31 +44,40 @@ def main():
     )
 
     ts, fl, sr = cfg.total_stride, cfg.frame_length, 16000
-    seconds = 10.0
-    n_frames = int(seconds * sr) // ts
+    frames_per_block = 16  # 256 ms chunks = reference demo CHUNK=4096
+    n_blocks = 39  # ~10 s of audio
+    n_frames = frames_per_block * n_blocks
     rng = np.random.default_rng(0)
     audio = rng.normal(size=(1, fl + n_frames * ts)).astype(np.float32) * 0.1
 
     prime = jax.jit(lambda p, f: stream_prime(p, cfg, f, dtype))
-    many = jax.jit(lambda p, s, b: stream_many(p, cfg, s, b, dtype))
-
     state, _ = prime(params, jnp.asarray(audio[:, :fl]))
     blocks = jnp.asarray(
-        np.stack([audio[:, fl + i * ts : fl + (i + 1) * ts] for i in range(n_frames)])
+        np.stack(
+            [
+                audio[:, fl + b * frames_per_block * ts : fl + (b + 1) * frames_per_block * ts]
+                for b in range(n_blocks)
+            ]
+        )
     )
-    # warmup / compile
-    st, outs = many(params, state, blocks)
-    np.asarray(outs)
 
-    # NOTE: time with a forced device->host read per rep — on the axon relay
-    # backend, block_until_ready alone can return stale-fast for repeated
-    # identical executions.
+    @jax.jit
+    def run(p, s, b, scale):
+        def body(st, blk):
+            return stream_step_block(p, cfg, st, blk * scale, dtype)
+
+        st, outs = jax.lax.scan(body, s, b)
+        return jnp.sum(jnp.abs(outs.astype(jnp.float32)))
+
+    # warmup / compile; then time with varied inputs + scalar sync — the axon
+    # relay memoises repeated identical executions and full-output transfers
+    # through the tunnel dominate naive timings
+    float(run(params, state, blocks, 1.0))
     reps = 3
     dts = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        st, outs = many(params, state, blocks)
-        np.asarray(outs)
+        float(run(params, state, blocks, 1.0 + 0.001 * (i + 1)))
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
 

@@ -252,6 +252,153 @@ def stream_step(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.fl
     return new_state, out
 
 
+def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
+    """Run N bottleneck tokens with carried state.  x: (B, N, d_model).
+
+    For the Mamba family this is the chunked selective scan with ``h0`` =
+    carried state (the same math that makes block streaming possible: only
+    the SSM state is sequential across frames; everything else in the block
+    parallelises).  For LSTM/MHA it falls back to a lax.scan of token steps.
+    """
+    N = x.shape[1]
+    if cfg.bottleneck == "mamba" and N > 1:
+        from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
+        from cleanumamba_tpu.ops.scan import selective_scan
+
+        bp = params["bottleneck"]
+        hidden = x
+        residual = None
+        new_cache = []
+        for lp, lc in zip(bp["layers"], cache):
+            residual = (
+                hidden.astype(jnp.float32) + residual
+                if residual is not None
+                else hidden.astype(jnp.float32)
+            )
+            if cfg.rms_norm:
+                hidden = rms_norm(residual, lp["norm"]["scale"], cfg.norm_epsilon)
+            else:
+                hidden = layer_norm(residual, lp["norm"]["scale"], lp["norm"]["bias"], cfg.norm_epsilon)
+            hidden = hidden.astype(x.dtype)
+            p = lp["mixer"]
+            _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+            xz = hidden @ p["in_proj"].astype(hidden.dtype)
+            xs, z = xz[..., :d_inner], xz[..., d_inner:]
+            # causal depthwise conv with carried conv_state (last d_conv inputs)
+            ctx = jnp.concatenate([lc["conv_state"][:, 1:, :].astype(xs.dtype), xs], axis=1)
+            conv_w = p["conv_w"].astype(xs.dtype)
+            K = conv_w.shape[0]
+            acc = jnp.zeros_like(xs)
+            for k in range(K):
+                acc = acc + ctx[:, k : k + N, :] * conv_w[k]
+            new_conv_state = ctx[:, -d_conv:, :]
+            xs = jax.nn.silu(acc + p["conv_b"].astype(xs.dtype))
+            dbc = xs @ p["x_proj"].astype(xs.dtype)
+            dt = dbc[..., :dt_rank]
+            Bm = dbc[..., dt_rank : dt_rank + d_state]
+            Cm = dbc[..., dt_rank + d_state :]
+            dt = dt @ p["dt_proj_w"].astype(dt.dtype) + p["dt_proj_b"].astype(dt.dtype)
+            dt = jax.nn.softplus(dt.astype(jnp.float32))
+            A = -jnp.exp(p["A_log"].astype(jnp.float32))
+            y, h_last = selective_scan(
+                xs, dt, A, Bm, Cm, p["D"], h0=lc["ssm_state"], chunk=min(32, N)
+            )
+            y = y * jax.nn.silu(z)
+            hidden = y @ p["out_proj"].astype(y.dtype)
+            new_cache.append({"conv_state": new_conv_state, "ssm_state": h_last})
+        residual = hidden.astype(jnp.float32) + residual
+        nf = bp["norm_f"]
+        if cfg.rms_norm:
+            out = rms_norm(residual, nf["scale"], cfg.norm_epsilon)
+        else:
+            out = layer_norm(residual, nf["scale"], nf["bias"], cfg.norm_epsilon)
+        return new_cache, out.astype(x.dtype)
+
+    def tok(cache, x_t):
+        cache, y = _bottleneck_step(params, cfg, cache, x_t)
+        return cache, y
+
+    cache, ys = jax.lax.scan(tok, cache, jnp.swapaxes(x, 0, 1))
+    return cache, jnp.swapaxes(ys, 0, 1)
+
+
+def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.float32):
+    """Block streaming: consume N*total_stride new samples, emit the same.
+
+    Equivalent math to N successive :func:`stream_step` calls (exactly so
+    with normalize_input=False; with normalisation the std EMA updates once
+    per block instead of per frame), but the encoder/decoder work for all N
+    frames runs in parallel and the weights are read from HBM once per block
+    instead of once per frame — the streaming step is weight-bandwidth-bound
+    (docs/performance.md), so throughput scales nearly with N.
+
+    new_samples: (B, N*total_stride).  Returns (state', (B, N*total_stride)).
+    """
+    K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
+    ts = cfg.total_stride
+    N = new_samples.shape[1] // ts
+    assert new_samples.shape[1] == N * ts
+    strides = _level_strides(cfg)
+    window = jnp.concatenate([state["input_tail"], new_samples], axis=1)
+
+    frames = state["frames"] + N
+    if cfg.normalize_input:
+        std_now = jnp.std(window.astype(jnp.float32), axis=1, keepdims=True) + 1e-3
+        w = N / frames.astype(jnp.float32)
+        input_std = std_now * w + (1.0 - w) * state["input_std"]
+    else:
+        input_std = state["input_std"]
+
+    x_prev_full = (window[..., None] / input_std[..., None]).astype(dtype) \
+        if cfg.normalize_input else window[..., None].astype(dtype)
+
+    skips = []
+    enc_caches = []
+    for i, ep in enumerate(params["encoder"]):
+        n_new = N * strides[i]
+        suffix_len = K + S * (n_new - 1)
+        new_out = encoder_level(ep, x_prev_full[:, -suffix_len:, :], cfg, i)
+        x_full = jnp.concatenate([state["enc"][i], new_out], axis=1)
+        skips.append(x_full)
+        enc_caches.append(x_full[:, n_new:, :])
+        x_prev_full = x_full
+
+    # bottleneck over the N new tokens (skips[-1] has length N: the deepest
+    # level's cache is empty)
+    z = skips[-1] @ params["tsfm_conv1"]["w"][0].astype(dtype) + params["tsfm_conv1"]["b"].astype(dtype)
+    bott_cache, y = _bottleneck_tokens(params, cfg, state["bottleneck"], z)
+    x = y @ params["tsfm_conv2"]["w"][0].astype(dtype) + params["tsfm_conv2"]["b"].astype(dtype)
+
+    new_dec = []
+    rev_skips = skips[::-1]
+    for j, dp in enumerate(params["decoder"]):
+        enc_i = D - 1 - j
+        x = x + rev_skips[j][:, : x.shape[1], :]
+        x = decoder_level(dp, x, cfg, enc_i, relu=False)
+        tail = x[:, -S:, :] - dp["convt_b"].astype(dtype)
+        new_dec.append(tail)
+        x = x[:, :-S, :]
+        prev = state["dec"][j]
+        if prev is not None:
+            x = x.at[:, :S, :].add(prev)
+        if j != D - 1:
+            x = jax.nn.relu(x)
+
+    out = x[:, : N * ts, 0]
+    if cfg.normalize_input:
+        out = out * input_std.astype(out.dtype)
+
+    new_state = {
+        "input_tail": window[:, N * ts :],
+        "input_std": input_std,
+        "frames": frames,
+        "enc": enc_caches,
+        "dec": new_dec,
+        "bottleneck": bott_cache,
+    }
+    return new_state, out
+
+
 def stream_many(params, cfg: CleanUMambaConfig, state, blocks, dtype=jnp.float32, unroll: int = 1):
     """On-device multi-frame streaming: ``lax.scan`` the step over
     (n_frames, B, total_stride) blocks.  Returns (state', (B, n*stride))."""
@@ -278,9 +425,10 @@ class Streamer:
         self.batch = batch
         self._prime = jax.jit(lambda p, f: stream_prime(p, cfg, f, dtype))
         self._step = jax.jit(lambda p, s, n: stream_step(p, cfg, s, n, dtype))
-        # multi-frame scan: one device dispatch per feed() instead of one per
-        # 16 ms frame (crucial when host<->device latency is high)
-        self._many = jax.jit(lambda p, s, b: stream_many(p, cfg, s, b, dtype))
+        # block step: all frames available in a feed() run as ONE parallel
+        # block (weights read once per block, not once per frame) — see
+        # stream_step_block / docs/performance.md
+        self._block = jax.jit(lambda p, s, n: stream_step_block(p, cfg, s, n, dtype))
         self.state = None
         self.pending = np.zeros((batch, 0), np.float32)
         self.fed = 0
@@ -309,10 +457,8 @@ class Streamer:
                 outs.append(np.asarray(out))
                 self.pending = self.pending[:, ts:]
             elif n_frames > 1:
-                blocks = np.stack(
-                    [self.pending[:, fl - ts + k * ts : fl + k * ts] for k in range(n_frames)]
-                )
-                self.state, out = self._many(self.params, self.state, jnp.asarray(blocks))
+                new = self.pending[:, fl - ts : fl + (n_frames - 1) * ts]
+                self.state, out = self._block(self.params, self.state, jnp.asarray(new))
                 outs.append(np.asarray(out))
                 self.pending = self.pending[:, n_frames * ts :]
         if outs:

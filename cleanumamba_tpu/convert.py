@@ -132,6 +132,79 @@ def convert_state_dict(sd: Dict[str, Any], cfg: CleanUMambaConfig) -> Dict[str, 
     return params
 
 
+def export_reference_state_dict(params, cfg: CleanUMambaConfig):
+    """Inverse conversion: our param pytree -> a reference-format torch
+    state dict (fp32), so models trained/pruned in this framework can be
+    loaded by the PyTorch reference via its ``load_pruned_state_dict``.
+    Mamba-family and LSTM bottlenecks supported."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    sd = {}
+    for i, ep in enumerate(params["encoder"]):
+        sd[f"encoder.{i}.0.weight"] = t(ep["conv_w"]).permute(2, 1, 0).contiguous()
+        sd[f"encoder.{i}.0.bias"] = t(ep["conv_b"])
+        sd[f"encoder.{i}.2.weight"] = t(ep["mix_w"]).permute(2, 1, 0).contiguous()
+        sd[f"encoder.{i}.2.bias"] = t(ep["mix_b"])
+    for j, dp in enumerate(params["decoder"]):
+        sd[f"decoder.{j}.0.weight"] = t(dp["mix_w"]).permute(2, 1, 0).contiguous()
+        sd[f"decoder.{j}.0.bias"] = t(dp["mix_b"])
+        sd[f"decoder.{j}.2.weight"] = t(dp["convt_w"]).permute(1, 2, 0).contiguous()
+        sd[f"decoder.{j}.2.bias"] = t(dp["convt_b"])
+    sd["tsfm_conv1.weight"] = t(params["tsfm_conv1"]["w"]).permute(2, 1, 0).contiguous()
+    sd["tsfm_conv1.bias"] = t(params["tsfm_conv1"]["b"])
+    sd["tsfm_conv2.weight"] = t(params["tsfm_conv2"]["w"]).permute(2, 1, 0).contiguous()
+    sd["tsfm_conv2.bias"] = t(params["tsfm_conv2"]["b"])
+    bott = params["bottleneck"]
+    if cfg.bottleneck == "lstm":
+        for l, lp in enumerate(bott["layers"]):
+            sd[f"tsfm_Mamba_layers.weight_ih_l{l}"] = t(lp["w_ih"]).T.contiguous()
+            sd[f"tsfm_Mamba_layers.weight_hh_l{l}"] = t(lp["w_hh"]).T.contiguous()
+            sd[f"tsfm_Mamba_layers.bias_ih_l{l}"] = t(lp["b_ih"])
+            sd[f"tsfm_Mamba_layers.bias_hh_l{l}"] = t(lp["b_hh"])
+        return sd
+    if cfg.bottleneck != "mamba":
+        raise NotImplementedError(f"export for {cfg.bottleneck} not implemented")
+    for l, layer in enumerate(bott["layers"]):
+        p = f"tsfm_Mamba_layers.{l}"
+        sd[f"{p}.norm.weight"] = t(layer["norm"]["scale"])
+        if "bias" in layer["norm"]:
+            sd[f"{p}.norm.bias"] = t(layer["norm"]["bias"])
+        m = layer["mixer"]
+        sd[f"{p}.mixer.in_proj.weight"] = t(m["in_proj"]).T.contiguous()
+        sd[f"{p}.mixer.conv1d.weight"] = t(m["conv_w"]).T[:, None, :].contiguous()
+        sd[f"{p}.mixer.conv1d.bias"] = t(m["conv_b"])
+        sd[f"{p}.mixer.x_proj.weight"] = t(m["x_proj"]).T.contiguous()
+        sd[f"{p}.mixer.dt_proj.weight"] = t(m["dt_proj_w"]).T.contiguous()
+        sd[f"{p}.mixer.dt_proj.bias"] = t(m["dt_proj_b"])
+        sd[f"{p}.mixer.A_log"] = t(m["A_log"])
+        sd[f"{p}.mixer.D"] = t(m["D"])
+        sd[f"{p}.mixer.out_proj.weight"] = t(m["out_proj"]).T.contiguous()
+    sd["norm_f.weight"] = t(bott["norm_f"]["scale"])
+    if "bias" in bott["norm_f"]:
+        sd["norm_f.bias"] = t(bott["norm_f"]["bias"])
+    return sd
+
+
+def save_reference_checkpoint(path: str, params, cfg: CleanUMambaConfig,
+                              n_iter: int = 0, run_id=None):
+    """Write a reference-format ``.pkl`` (torch.save of
+    {model_state_dict, network_config, iter, run_id})."""
+    import torch
+
+    torch.save(
+        {
+            "model_state_dict": export_reference_state_dict(params, cfg),
+            "network_config": cfg.to_reference_json(),
+            "iter": n_iter,
+            "run_id": run_id,
+        },
+        path,
+    )
+
+
 def _norm(sd, prefix):
     out = {"scale": _to_np(sd[f"{prefix}.weight"])}
     if f"{prefix}.bias" in sd:

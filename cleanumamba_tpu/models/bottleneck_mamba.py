@@ -58,13 +58,15 @@ def mixer_forward(p, x, chunk: int = 32, scan_impl: str = "auto"):
         from cleanumamba_tpu.ops.pallas.selective_scan import pallas_available
 
         scan_impl = "pallas" if pallas_available() else "xla"
+    h0 = jnp.zeros((xs.shape[0], d_inner, d_state), jnp.float32)
     if scan_impl == "pallas":
         from cleanumamba_tpu.ops.pallas.selective_scan import selective_scan_auto
 
-        h0 = jnp.zeros((xs.shape[0], d_inner, d_state), jnp.float32)
         y, _ = selective_scan_auto(xs, dt, A, B, C, p["D"], h0, chunk)
     else:
-        y, _ = selective_scan(xs, dt, A, B, C, p["D"], chunk=chunk)
+        from cleanumamba_tpu.ops.scan import selective_scan_grad
+
+        y, _ = selective_scan_grad(xs, dt, A, B, C, p["D"], h0, chunk)
     y = y * jax.nn.silu(z)
     return y @ p["out_proj"].astype(y.dtype)
 

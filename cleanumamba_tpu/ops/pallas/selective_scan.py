@@ -168,9 +168,12 @@ def _fwd(u, dt, A, B, C, D, h0, chunk):
 
 def _bwd(chunk, res, cts):
     u, dt, A, B, C, D, h0 = res
+    from cleanumamba_tpu.ops.scan import selective_scan_grad
 
+    # chunked sequential reverse (memory-bounded custom VJP), not AD through
+    # the associative scan
     def ref(u, dt, A, B, C, D, h0):
-        return xla_selective_scan(u, dt, A, B, C, D, h0, chunk=chunk)
+        return selective_scan_grad(u, dt, A, B, C, D, h0, chunk)
 
     _, vjp = jax.vjp(ref, u, dt, A, B, C, D, h0)
     return vjp(cts)

@@ -24,6 +24,8 @@ kernel's fp32 state; survey §7 "Selective-scan numerics").
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -33,11 +35,18 @@ def _ssm_coeffs(u, dt, A, B):
     """Per-step transition/input coefficients in fp32.
 
     u, dt: (B, T, d_inner); A: (d_inner, d_state); B: (B, T, d_state)
-    returns a, b: (B, T, d_inner, d_state)
+    returns a, b: (B, T, d_state, d_inner).
+
+    Layout note: d_inner (large, multiple of 8 by the pruning rule) sits on
+    the last axis so it maps onto the TPU's 128 lanes; with d_state last the
+    64-wide tiles waste half of every (8,128) tile — 2x memory and time for
+    these, the largest tensors in the model (observed: a 33 GB OOM in the
+    scan backward at B=2, L=160k with d_state-last).
     """
     dt = dt.astype(jnp.float32)
-    a = jnp.exp(dt[..., None] * A.astype(jnp.float32))
-    b = (dt * u.astype(jnp.float32))[..., None] * B.astype(jnp.float32)[:, :, None, :]
+    At = A.astype(jnp.float32).T  # (d_state, d_inner)
+    a = jnp.exp(dt[:, :, None, :] * At[None, None])
+    b = (dt * u.astype(jnp.float32))[:, :, None, :] * B.astype(jnp.float32)[..., None]
     return a, b
 
 
@@ -60,9 +69,10 @@ def selective_scan(u, dt, A, B, C, D=None, h0=None, chunk: int = 32, unroll: int
     Bsz, L, d_inner = u.shape
     d_state = A.shape[1]
     if h0 is None:
-        h0 = jnp.zeros((Bsz, d_inner, d_state), jnp.float32)
+        h0 = jnp.zeros((Bsz, d_state, d_inner), jnp.float32)
     else:
-        h0 = h0.astype(jnp.float32)
+        # external contract is (B, d_inner, d_state); internal is transposed
+        h0 = h0.astype(jnp.float32).swapaxes(-1, -2)
 
     # Pad L to a multiple of chunk with dt=0 steps (a=1, b=0: identity).
     n_chunks = -(-L // chunk)
@@ -89,18 +99,165 @@ def selective_scan(u, dt, A, B, C, D=None, h0=None, chunk: int = 32, unroll: int
         uc, dtc, Bc, Cc = chunk_inputs  # (batch, chunk, ...)
         a, b = _ssm_coeffs(uc, dtc, A, Bc)
         a_cum, b_cum = lax.associative_scan(combine, (a, b), axis=1)
-        h_t = a_cum * h[:, None] + b_cum  # (batch, chunk, d_inner, d_state)
+        h_t = a_cum * h[:, None] + b_cum  # (batch, chunk, d_state, d_inner)
         y = jnp.einsum(
-            "btis,bts->bti", h_t, Cc.astype(jnp.float32),
+            "btsi,bts->bti", h_t, Cc.astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
         return h_t[:, -1], y
 
     h_last, ys = lax.scan(chunk_step, h0, xs, unroll=unroll)
+    h_last = h_last.swapaxes(-1, -2)  # back to (B, d_inner, d_state)
     y = ys.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, d_inner)[:, :L]
     if D is not None:
         y = y + u.astype(jnp.float32) * D.astype(jnp.float32)
     return y.astype(u.dtype), h_last
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def selective_scan_grad(u, dt, A, B, C, D, h0, chunk=32):
+    """selective_scan with a memory-bounded custom backward.
+
+    Differentiating through ``lax.associative_scan`` materialises every tree
+    level of the scan in HBM (observed 17-33 GB for E8 training shapes).
+    This wrapper runs the same chunked forward but a hand-derived reverse:
+    the adjoint recurrence  λ_t = gy_t ⊗ C_t + a_{t+1} · λ_{t+1}  is itself a
+    linear scan, so the backward reuses the chunked associative machinery,
+    recomputing h within each chunk from saved chunk-boundary states.
+    Peak extra memory: O(L/chunk · d_inner · d_state) boundary states plus
+    one chunk of coefficients.
+    """
+    return selective_scan(u, dt, A, B, C, D, h0, chunk=chunk)
+
+
+def _ssg_fwd(u, dt, A, B, C, D, h0, chunk):
+    Bsz, L, d_inner = u.shape
+    d_state = A.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((Bsz, d_inner, d_state), jnp.float32)
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+    u_p, dt_p, B_p, C_p = map(pad_t, (u, dt, B, C))
+
+    def chunks(x):
+        return x.reshape(Bsz, n_chunks, chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = tuple(map(chunks, (u_p, dt_p, B_p, C_p)))
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    def chunk_step(h, inp):
+        uc, dtc, Bc, Cc = inp
+        a, b = _ssm_coeffs(uc, dtc, A, Bc)
+        a_cum, b_cum = lax.associative_scan(combine, (a, b), axis=1)
+        h_t = a_cum * h[:, None] + b_cum  # (B, chunk, s, i)
+        y = jnp.einsum("btsi,bts->bti", h_t, Cc.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        return h_t[:, -1], (y, h)  # also emit the chunk's INCOMING state
+
+    h0_t = h0.astype(jnp.float32).swapaxes(-1, -2)
+    h_last, (ys, h_starts) = lax.scan(chunk_step, h0_t, xs)
+    y = ys.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, d_inner)[:, :L]
+    if D is not None:
+        y = y + u.astype(jnp.float32) * D.astype(jnp.float32)
+    y = y.astype(u.dtype)
+    h_last = h_last.swapaxes(-1, -2)
+    res = (u, dt, A, B, C, D, h0, h_starts)
+    return (y, h_last), res
+
+
+def _ssg_bwd(chunk, res, cts):
+    u, dt, A, B, C, D, h0, h_starts = res
+    gy, gh_last = cts
+    Bsz, L, d_inner = u.shape
+    d_state = A.shape[1]
+    f32 = jnp.float32
+    n_chunks = h_starts.shape[0]
+    pad = n_chunks * chunk - L
+
+    gy = gy.astype(f32)
+    uf, dtf, Bf, Cf = (x.astype(f32) for x in (u, dt, B, C))
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
+
+    u_p, dt_p, B_p, C_p, gy_p = map(pad_t, (uf, dtf, Bf, Cf, gy))
+    # a_next[t] = a[t+1]; encode via dt shifted left one step (dt=0 -> a=1
+    # identity at the sequence end, which also routes gh_last into λ_{L-1})
+    dt_next = jnp.concatenate(
+        [dt_p[:, 1:], jnp.zeros_like(dt_p[:, :1])], axis=1
+    )
+
+    def chunks(x):
+        return x.reshape(Bsz, n_chunks, chunk, *x.shape[2:]).swapaxes(0, 1)
+
+    xs = tuple(map(chunks, (u_p, dt_p, dt_next, B_p, C_p, gy_p))) + (h_starts,)
+
+    Atf = A.astype(f32).T  # (s, i)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    def bwd_chunk(carry, inp):
+        lam_next, gA_acc = carry  # λ_{t1+1} (B, s, i)
+        uc, dtc, dtn, Bc, Cc, gyc, h_start = inp
+        a, b = _ssm_coeffs(uc, dtc, A, Bc)
+        # recompute h within the chunk from the saved incoming state
+        a_cum, b_cum = lax.associative_scan(combine, (a, b), axis=1)
+        h = a_cum * h_start[:, None] + b_cum  # (B, chunk, s, i)
+        h_prev = jnp.concatenate([h_start[:, None], h[:, :-1]], axis=1)
+        # λ reverse scan: pairs (a_next, q) scanned in reversed time
+        a_next = jnp.exp(dtn[:, :, None, :] * Atf[None, None])
+        q = gyc[:, :, None, :] * Cc[..., None]  # (B, chunk, s, i)
+        ar = jnp.flip(a_next, axis=1)
+        qr = jnp.flip(q, axis=1)
+        acum, qcum = lax.associative_scan(combine, (ar, qr), axis=1)
+        lam = jnp.flip(acum * lam_next[:, None] + qcum, axis=1)  # λ_t
+        # gradients
+        lam_h_a = lam * h_prev * a  # (B, chunk, s, i)
+        gdt = jnp.einsum("btsi,si->bti", lam_h_a, Atf) + \
+            jnp.einsum("btsi,bts->bti", lam, Bc) * uc
+        gu = dtc * jnp.einsum("btsi,bts->bti", lam, Bc)
+        gB = jnp.einsum("btsi,bti->bts", lam, dtc * uc)
+        gC = jnp.einsum("btsi,bti->bts", h, gyc)
+        gA_acc = gA_acc + jnp.einsum("btsi,bti->si", lam_h_a, dtc)
+        # carry to the left chunk: λ_{t0} (its own a_next multiplies inside)
+        return (lam[:, 0], gA_acc), (gu, gdt, gB, gC)
+
+    lam_init = gh_last.astype(f32).swapaxes(-1, -2)
+    (lam0, gA_t), (gu_c, gdt_c, gB_c, gC_c) = lax.scan(
+        bwd_chunk, (lam_init, jnp.zeros_like(Atf)), xs, reverse=True
+    )
+
+    def unchunk(x):
+        return x.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, -1)[:, :L]
+
+    gu, gdt, gB, gC = map(unchunk, (gu_c, gdt_c, gB_c, gC_c))
+    if D is not None:
+        gu = gu + gy * D.astype(f32)
+        gD = jnp.einsum("bti,bti->i", gy, uf)
+    else:
+        gD = None
+    # gh0 = a_0 * λ_0 ; a_0 = exp(dt_0 * A)
+    a0 = jnp.exp(dtf[:, 0, None, :] * Atf[None])
+    gh0 = (a0 * lam0).swapaxes(-1, -2)
+    gA = gA_t.T  # back to (i, s)
+    return (
+        gu.astype(u.dtype), gdt.astype(dt.dtype), gA.astype(A.dtype),
+        gB.astype(B.dtype), gC.astype(C.dtype), gD, gh0,
+    )
+
+
+selective_scan_grad.defvjp(_ssg_fwd, _ssg_bwd)
 
 
 def selective_scan_ref(u, dt, A, B, C, D=None, h0=None):
@@ -108,23 +265,23 @@ def selective_scan_ref(u, dt, A, B, C, D=None, h0=None):
     Bsz, L, d_inner = u.shape
     d_state = A.shape[1]
     if h0 is None:
-        h0 = jnp.zeros((Bsz, d_inner, d_state), jnp.float32)
+        h0 = jnp.zeros((Bsz, d_state, d_inner), jnp.float32)
     else:
-        h0 = h0.astype(jnp.float32)
+        h0 = h0.astype(jnp.float32).swapaxes(-1, -2)
 
-    a, b = _ssm_coeffs(u, dt, A, B)
+    a, b = _ssm_coeffs(u, dt, A, B)  # (B, T, d_state, d_inner)
 
     def step(h, inputs):
         a_t, b_t, C_t = inputs
         h = a_t * h + b_t
-        y = jnp.einsum("bis,bs->bi", h, C_t.astype(jnp.float32))
+        y = jnp.einsum("bsi,bs->bi", h, C_t.astype(jnp.float32))
         return h, y
 
     h_last, ys = lax.scan(step, h0, (a.swapaxes(0, 1), b.swapaxes(0, 1), C.swapaxes(0, 1)))
     y = ys.swapaxes(0, 1)
     if D is not None:
         y = y + u.astype(jnp.float32) * D.astype(jnp.float32)
-    return y.astype(u.dtype), h_last
+    return y.astype(u.dtype), h_last.swapaxes(-1, -2)
 
 
 def selective_scan_step(h, u, dt, A, B, C, D=None):

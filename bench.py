@@ -16,7 +16,6 @@ itself publishes no speed number — it only measures ms/frame at runtime
 """
 
 import json
-import sys
 import time
 
 import numpy as np

@@ -21,8 +21,6 @@ from cleanumamba_tpu.models.cleanumamba import forward, prepare_for_length
 def load_any_checkpoint(path: str):
     """Load a checkpoint: ours (train.checkpoint format) or a reference
     torch pickle (detected by content)."""
-    import pickle
-
     with open(path, "rb") as f:
         head = f.read(8)
     if head[:2] == b"PK" or head.startswith(b"\x80"):

@@ -5,7 +5,6 @@ warmup-cosine, the same loss/validation loop as train.py."""
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 import jax

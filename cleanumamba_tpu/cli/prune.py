@@ -11,8 +11,6 @@ import argparse
 import json
 import os
 
-import jax
-
 from cleanumamba_tpu.cli.denoise import load_any_checkpoint
 from cleanumamba_tpu.config import LossConfig
 from cleanumamba_tpu.data import SyntheticDenoiseDataset, CleanNoisyPairDataset, make_loader

@@ -10,24 +10,16 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-from cleanumamba_tpu.config import (
-    CleanUMambaConfig,
-    load_experiment_config,
-    load_train_config,
-)
+from cleanumamba_tpu.config import load_experiment_config, load_train_config
 from cleanumamba_tpu.data import (
     CleanNoisyPairDataset,
     SyntheticDenoiseDataset,
-    make_loader,
     make_training_loader,
 )
 from cleanumamba_tpu.eval.validate import validate
@@ -38,7 +30,6 @@ from cleanumamba_tpu.train.checkpoint import (
     load_checkpoint,
     save_checkpoint,
 )
-from cleanumamba_tpu.train.schedule import linear_warmup_cosine_decay
 from cleanumamba_tpu.train.trainer import (
     make_optimizer,
     make_train_step,

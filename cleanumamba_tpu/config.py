@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
-from typing import Any, List, Optional, Sequence, Union
+from typing import List, Sequence, Union
 
 
 def _ceil_div(a: int, b: int) -> int:

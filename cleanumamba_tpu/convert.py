@@ -19,8 +19,6 @@ Layout conversions (torch -> ours):
 
 from __future__ import annotations
 
-import dataclasses
-import re
 from typing import Any, Dict, Tuple
 
 import numpy as np

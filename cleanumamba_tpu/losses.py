@@ -17,8 +17,6 @@ the frequency axis (the documented intent).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

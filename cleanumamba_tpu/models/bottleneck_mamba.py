@@ -19,10 +19,9 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cleanumamba_tpu.ops.conv import causal_depthwise_conv
-from cleanumamba_tpu.ops.scan import selective_scan, selective_scan_step
+from cleanumamba_tpu.ops.scan import selective_scan_step
 
 
 def mixer_dims(p):

@@ -29,7 +29,7 @@ H=16, N=32 a plain einsum materialisation is tiny and XLA-fuses fine.
 from __future__ import annotations
 
 import math
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

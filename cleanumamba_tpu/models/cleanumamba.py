@@ -17,7 +17,7 @@ checkpoints simply produce differently-shaped leaves and everything retraces.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

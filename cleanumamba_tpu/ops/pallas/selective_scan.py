@@ -32,7 +32,6 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-from cleanumamba_tpu.ops.scan import selective_scan as xla_selective_scan
 
 
 def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,

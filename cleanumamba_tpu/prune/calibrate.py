@@ -15,7 +15,7 @@ from typing import Callable, Dict, Sequence
 
 import numpy as np
 
-from cleanumamba_tpu.prune.groups import PruneGroup, build_groups
+from cleanumamba_tpu.prune.groups import PruneGroup
 from cleanumamba_tpu.prune.importance import get_prune_channels
 from cleanumamba_tpu.prune.pruner import apply_pruning
 

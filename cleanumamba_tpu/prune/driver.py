@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Callable, Dict, Iterator, Optional
+from typing import Callable, Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from cleanumamba_tpu.config import CleanUMambaConfig, LossConfig

@@ -30,7 +30,7 @@ groups remain valid across successive prunes with no offset bookkeeping.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Tuple
 
 from cleanumamba_tpu.config import CleanUMambaConfig
 

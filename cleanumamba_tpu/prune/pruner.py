@@ -10,9 +10,8 @@ pruninggroup.py:278-296, :340-353).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import optax

@@ -9,7 +9,7 @@ as the ``act_var`` importance metric.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -28,8 +28,7 @@ produces ``stride_i = S^(D-1-i)`` new outputs, consuming the last
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ the missing pieces: adapter construction and a jitted KD train step.
 from __future__ import annotations
 
 import math
-from typing import Any, List
+from typing import List
 
 import jax
 import jax.numpy as jnp

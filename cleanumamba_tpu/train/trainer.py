@@ -16,8 +16,7 @@ the gradient all-reduce over ICI (replaces train_distributed.py:97-149).
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

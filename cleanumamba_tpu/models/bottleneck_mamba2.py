@@ -45,7 +45,7 @@ def _split_zxbcdt(p, zxbcdt):
     return z, xBC, dt
 
 
-def mixer_forward(p, x, chunk: int = 32):
+def mixer_forward(p, x, chunk: int = 32, use_ssd: bool = True):
     d_model, d_inner, d_state, n_heads, headdim = mixer_geometry(p)
     zxbcdt = x @ p["in_proj"].astype(x.dtype)
     z, xBC, dt_h = _split_zxbcdt(p, zxbcdt)
@@ -55,12 +55,22 @@ def mixer_forward(p, x, chunk: int = 32):
     B = xBC[..., d_inner : d_inner + d_state]
     C = xBC[..., d_inner + d_state :]
     dt_h = jax.nn.softplus(dt_h.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
-    # broadcast per-head dt and A to per-channel for the shared scan
-    dt = jnp.repeat(dt_h, headdim, axis=-1)  # (B, T, d_inner)
     A_head = -jnp.exp(p["A_log"].astype(jnp.float32))  # (n_heads,)
-    A = jnp.repeat(A_head, headdim)[:, None] * jnp.ones((1, d_state), jnp.float32)
-    D = jnp.repeat(p["D"].astype(jnp.float32), headdim)
-    y, _ = selective_scan(xs, dt, A, B, C, D, chunk=chunk)
+    if use_ssd:
+        # scalar-per-head decay -> masked-matmul SSD form (MXU)
+        from cleanumamba_tpu.ops.scan import ssd_scan
+
+        Bsz, T, _ = xs.shape
+        xh = xs.reshape(Bsz, T, n_heads, headdim)
+        y, _ = ssd_scan(xh, dt_h, A_head, B, C, p["D"], chunk=min(chunk * 2, 64))
+        y = y.reshape(Bsz, T, d_inner)
+    else:
+        # exact-equivalent fallback: broadcast per-head params to the shared
+        # elementwise selective scan
+        dt = jnp.repeat(dt_h, headdim, axis=-1)  # (B, T, d_inner)
+        A = jnp.repeat(A_head, headdim)[:, None] * jnp.ones((1, d_state), jnp.float32)
+        D = jnp.repeat(p["D"].astype(jnp.float32), headdim)
+        y, _ = selective_scan(xs, dt, A, B, C, D, chunk=chunk)
     y = gated_rms_norm(y, z, p["norm_w"])
     return y @ p["out_proj"].astype(y.dtype)
 

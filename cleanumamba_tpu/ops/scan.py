@@ -260,6 +260,83 @@ def _ssg_bwd(chunk, res, cts):
 selective_scan_grad.defvjp(_ssg_fwd, _ssg_bwd)
 
 
+def ssd_scan(x, dt, A_head, B, C, D_head=None, h0=None, chunk: int = 64):
+    """Mamba2 SSD chunked scan (Dao & Gu 2024 "state-space duality").
+
+    With a *scalar* decay per head and step (a_t = exp(dt_t * A_h)), the
+    intra-chunk output is a masked matmul — MXU work instead of the VPU
+    elementwise scan Mamba1 needs:
+
+        Y_intra = (M ∘ (C B^T)) (dt · X),   M[t,τ] = exp(s_t - s_τ), τ <= t
+        Y_state[t] = exp(s_t) · C_t h_in
+        h_out = exp(s_T) h_in + Σ_τ exp(s_T - s_τ) B_τ ⊗ (dt_τ x_τ)
+
+    where s_t = cumsum(dt * A_h) within the chunk.  Chunks are carried by a
+    sequential ``lax.scan``.
+
+    Args:
+      x:  (batch, L, H, P) inputs split into H heads of headdim P.
+      dt: (batch, L, H) softplus'd per-head timestep.
+      A_head: (H,) negative real decay per head.
+      B, C: (batch, L, N) shared across heads (ngroups=1).
+      D_head: (H,) skip, or None.
+      h0: (batch, H, P, N) initial state, or None.
+
+    Returns (y (batch, L, H, P), h_last (batch, H, P, N) fp32).
+    """
+    Bsz, L, H, P = x.shape
+    N = B.shape[-1]
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    dtf = dt.astype(f32)
+    Bf, Cf = B.astype(f32), C.astype(f32)
+    Ah = A_head.astype(f32)
+    if h0 is None:
+        h0 = jnp.zeros((Bsz, H, P, N), f32)
+    else:
+        h0 = h0.astype(f32)
+
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+    if pad:
+        xf = jnp.pad(xf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dtf = jnp.pad(dtf, ((0, 0), (0, pad), (0, 0)))
+        Bf = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+        Cf = jnp.pad(Cf, ((0, 0), (0, pad), (0, 0)))
+
+    def chunks(t):
+        return t.reshape(Bsz, n_chunks, chunk, *t.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunks(xf), chunks(dtf), chunks(Bf), chunks(Cf))
+
+    def chunk_step(h, inp):
+        xc, dtc, Bc, Cc = inp  # (B, T, H, P), (B, T, H), (B, T, N)
+        s = jnp.cumsum(dtc * Ah, axis=1)  # (B, T, H) log-decay cumsum
+        # decay mask M[t, τ] = exp(s_t - s_τ), τ <= t  (stable: s decreasing)
+        M = jnp.exp(s[:, :, None, :] - s[:, None, :, :])  # (B, T, T, H)
+        causal = jnp.tril(jnp.ones((chunk, chunk), bool))
+        M = jnp.where(causal[None, :, :, None], M, 0.0)
+        G = jnp.einsum("btn,bsn->bts", Cc, Bc)  # (B, T, T)
+        W = G[..., None] * M  # (B, T, T, H)
+        dx = dtc[..., None] * xc  # (B, T, H, P)
+        y = jnp.einsum("btsh,bshp->bthp", W, dx)
+        # contribution of the incoming state
+        y = y + jnp.exp(s)[..., None] * jnp.einsum("btn,bhpn->bthp", Cc, h)
+        # state update
+        sT = s[:, -1:, :]  # (B, 1, H)
+        decay_to_end = jnp.exp(sT - s)  # (B, T, H)
+        h = jnp.exp(sT[:, 0, :, None, None]) * h + jnp.einsum(
+            "bth,bthp,btn->bhpn", decay_to_end, dx, Bc
+        )
+        return h, y
+
+    h_last, ys = lax.scan(chunk_step, h0, xs)
+    y = ys.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, H, P)[:, :L]
+    if D_head is not None:
+        y = y + xf[:, :L] * D_head.astype(f32)[None, None, :, None]
+    return y.astype(x.dtype), h_last
+
+
 def selective_scan_ref(u, dt, A, B, C, D=None, h0=None):
     """Naive per-timestep reference scan (test oracle; also exact math)."""
     Bsz, L, d_inner = u.shape

@@ -1,19 +1,21 @@
 """Pallas TPU selective-scan kernel.
 
 Replaces the XLA chunked associative scan (ops/scan.py) on the inference hot
-path.  The XLA version materialises the per-step coefficient tensors
-``a, b`` of shape (B, L, d_inner, d_state) in HBM (~640 MB of traffic for a
-10 s E8 clip); this kernel keeps the recurrent state and all per-step
-coefficients in VMEM, streaming only u/dt/B/C in and y out.
+path.  The XLA version materialises the per-step coefficient tensors of
+shape (B, L, d_state, d_inner) in HBM (~640 MB of traffic for a 10 s E8
+clip); this kernel keeps the recurrent state and all per-step coefficients
+in VMEM, streaming only u/dt/B/C in and y out.
 
 Grid: (batch, d_inner tiles, L chunks) — the L-chunk axis iterates
 sequentially on the TensorCore, so the fp32 state scratch persists across
 chunk steps (standard TPU accumulation pattern).  Within a chunk the
-recurrence h' = a*h + b runs as a fori_loop of (TILE_D, d_state) VPU ops.
+recurrence h' = a*h + b runs as a fori_loop of (d_state, TILE_D) VPU ops —
+d_inner on the lane axis (d_state=64 on lanes would waste half of every
+(8,128) fp32 tile; see docs/performance.md "lane packing").
 
-Gradients: wrapped in ``jax.custom_vjp`` whose backward recomputes via the
-differentiable XLA scan — the kernel is exact (same math, fp32 state), so
-fwd/bwd stay consistent.
+Gradients: wrapped in ``jax.custom_vjp`` whose backward runs the chunked
+sequential reverse scan (ops.scan.selective_scan_grad) — not AD through the
+associative scan.
 """
 
 from __future__ import annotations
@@ -33,15 +35,14 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-
 def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
                  y_ref, h_last_ref, h_scratch):
     """One (batch, d-tile, L-chunk) grid cell.
 
-    Block shapes:
-      u, dt: (CHUNK, TILE_D); B, C: (CHUNK, d_state);
-      A: (TILE_D, d_state); D: (1, TILE_D); h0: (TILE_D, d_state);
-      y out: (CHUNK, TILE_D); h_last out: (TILE_D, d_state).
+    Block shapes (state layout transposed: d_inner on lanes):
+      u, dt: (1, CHUNK, TILE_D); B, C: (1, CHUNK, d_state);
+      A: (d_state, TILE_D); D: (1, TILE_D); h0: (1, d_state, TILE_D);
+      y out: (1, CHUNK, TILE_D); h_last out: (1, d_state, TILE_D).
     """
     chunk_idx = pl.program_id(2)
     n_chunks = pl.num_programs(2)
@@ -50,7 +51,7 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
     def _():
         h_scratch[:] = h0_ref[0]
 
-    A = A_ref[:]  # (TILE_D, d_state)
+    A = A_ref[:]  # (d_state, TILE_D)
     D = D_ref[0, :]  # (TILE_D,)
     chunk = u_ref.shape[1]
 
@@ -59,11 +60,11 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
         dt_t = dt_ref[0, t, :]
         B_t = B_ref[0, t, :]  # (d_state,)
         C_t = C_ref[0, t, :]
-        a = jnp.exp(dt_t[:, None] * A)  # (TILE_D, d_state)
-        b = (dt_t * u_t)[:, None] * B_t[None, :]
+        a = jnp.exp(dt_t[None, :] * A)  # (d_state, TILE_D)
+        b = (dt_t * u_t)[None, :] * B_t[:, None]
         h = a * h_scratch[:] + b
         h_scratch[:] = h
-        y_ref[0, t, :] = jnp.sum(h * C_t[None, :], axis=1) + D * u_t
+        y_ref[0, t, :] = jnp.sum(h * C_t[:, None], axis=0) + D * u_t
         return 0
 
     jax.lax.fori_loop(0, chunk, step, 0)
@@ -88,7 +89,8 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
                           interpret: bool = False):
     """Selective scan on TPU via Pallas.  Same contract as
     ops.scan.selective_scan: u, dt (B, L, d_inner) / A (d_inner, d_state) /
-    B, C (B, L, d_state) / D (d_inner,) -> (y (B, L, d_inner), h_last fp32).
+    B, C (B, L, d_state) / D (d_inner,) -> (y (B, L, d_inner), h_last fp32
+    (B, d_inner, d_state)).
 
     All compute fp32 (cast on entry).  L is padded to a chunk multiple with
     dt=0 identity steps; d_inner to a tile multiple with A=0 inert rows.
@@ -123,6 +125,9 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
     Dp = d_inner + pad_d
     Lp = L + pad_l
 
+    A_t = A.T  # (d_state, Dp): d_inner on lanes
+    h0_t = h0.swapaxes(-1, -2)  # (B, d_state, Dp)
+
     grid = (Bsz, n_tiles, n_chunks)
     y, h_last = pl.pallas_call(
         _scan_kernel,
@@ -130,32 +135,32 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
         in_specs=[
             pl.BlockSpec((1, chunk, tile_d), lambda b, d, c: (b, c, d)),  # u
             pl.BlockSpec((1, chunk, tile_d), lambda b, d, c: (b, c, d)),  # dt
-            pl.BlockSpec((tile_d, d_state), lambda b, d, c: (d, 0)),  # A
+            pl.BlockSpec((d_state, tile_d), lambda b, d, c: (0, d)),  # A^T
             pl.BlockSpec((1, chunk, d_state), lambda b, d, c: (b, c, 0)),  # B
             pl.BlockSpec((1, chunk, d_state), lambda b, d, c: (b, c, 0)),  # C
             pl.BlockSpec((1, tile_d), lambda b, d, c: (0, d)),  # D
-            pl.BlockSpec((1, tile_d, d_state), lambda b, d, c: (b, d, 0)),  # h0
+            pl.BlockSpec((1, d_state, tile_d), lambda b, d, c: (b, 0, d)),  # h0^T
         ],
         out_specs=[
             pl.BlockSpec((1, chunk, tile_d), lambda b, d, c: (b, c, d)),
-            pl.BlockSpec((1, tile_d, d_state), lambda b, d, c: (b, d, 0)),
+            pl.BlockSpec((1, d_state, tile_d), lambda b, d, c: (b, 0, d)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bsz, Lp, Dp), f32),
-            jax.ShapeDtypeStruct((Bsz, Dp, d_state), f32),
+            jax.ShapeDtypeStruct((Bsz, d_state, Dp), f32),
         ],
-        scratch_shapes=[pltpu.VMEM((tile_d, d_state), f32)],
+        scratch_shapes=[pltpu.VMEM((d_state, tile_d), f32)],
         interpret=interpret,
-    )(u, dt, A, B, C, Dv.reshape(1, Dp), h0)
+    )(u, dt, A_t, B, C, Dv.reshape(1, Dp), h0_t)
 
     y = y[:, :L, :d_inner]
-    h_last = h_last[:, :d_inner, :]
+    h_last = h_last[:, :, :d_inner].swapaxes(-1, -2)
     return y, h_last
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=128):
-    """Differentiable wrapper: Pallas forward on TPU, XLA scan gradient."""
+    """Differentiable wrapper: Pallas forward on TPU, chunked-reverse grad."""
     y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0)
     return y, h_last
 

@@ -36,13 +36,16 @@ except ImportError:  # pragma: no cover
 
 
 def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
-                 y_ref, h_last_ref, h_scratch):
+                 y_ref, h_last_ref, h_bounds_ref, h_scratch):
     """One (batch, d-tile, L-chunk) grid cell.
 
     Block shapes (state layout transposed: d_inner on lanes):
       u, dt: (1, CHUNK, TILE_D); B, C: (1, CHUNK, d_state);
       A: (d_state, TILE_D); D: (1, TILE_D); h0: (1, d_state, TILE_D);
-      y out: (1, CHUNK, TILE_D); h_last out: (1, d_state, TILE_D).
+      y out: (1, CHUNK, TILE_D); h_last out: (1, d_state, TILE_D);
+      h_bounds out: (1, 1, d_state, TILE_D) — the chunk's INCOMING state,
+      saved so a custom backward can recompute per chunk without re-running
+      the whole forward.
     """
     chunk_idx = pl.program_id(2)
     n_chunks = pl.num_programs(2)
@@ -50,6 +53,8 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
     @pl.when(chunk_idx == 0)
     def _():
         h_scratch[:] = h0_ref[0]
+
+    h_bounds_ref[0, 0] = h_scratch[:]
 
     A = A_ref[:]  # (d_state, TILE_D)
     D = D_ref[0, :]  # (TILE_D,)
@@ -86,11 +91,16 @@ def pallas_available() -> bool:
 
 def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
                           chunk: int = 128, tile_d: int = 512,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          return_boundaries: bool = False):
     """Selective scan on TPU via Pallas.  Same contract as
     ops.scan.selective_scan: u, dt (B, L, d_inner) / A (d_inner, d_state) /
     B, C (B, L, d_state) / D (d_inner,) -> (y (B, L, d_inner), h_last fp32
     (B, d_inner, d_state)).
+
+    return_boundaries: additionally return the per-chunk incoming states
+    (n_chunks, B, d_state, d_inner) fp32, the residuals the chunked reverse
+    backward needs (ops.scan._ssg_bwd) — saves re-running the forward there.
 
     All compute fp32 (cast on entry).  L is padded to a chunk multiple with
     dt=0 identity steps; d_inner to a tile multiple with A=0 inert rows.
@@ -129,7 +139,7 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
     h0_t = h0.swapaxes(-1, -2)  # (B, d_state, Dp)
 
     grid = (Bsz, n_tiles, n_chunks)
-    y, h_last = pl.pallas_call(
+    y, h_last, h_bounds = pl.pallas_call(
         _scan_kernel,
         grid=grid,
         in_specs=[
@@ -144,10 +154,12 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
         out_specs=[
             pl.BlockSpec((1, chunk, tile_d), lambda b, d, c: (b, c, d)),
             pl.BlockSpec((1, d_state, tile_d), lambda b, d, c: (b, 0, d)),
+            pl.BlockSpec((1, 1, d_state, tile_d), lambda b, d, c: (b, c, 0, d)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((Bsz, Lp, Dp), f32),
             jax.ShapeDtypeStruct((Bsz, d_state, Dp), f32),
+            jax.ShapeDtypeStruct((Bsz, n_chunks, d_state, Dp), f32),
         ],
         scratch_shapes=[pltpu.VMEM((d_state, tile_d), f32)],
         interpret=interpret,
@@ -155,32 +167,39 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
 
     y = y[:, :L, :d_inner]
     h_last = h_last[:, :, :d_inner].swapaxes(-1, -2)
+    if return_boundaries:
+        # -> (n_chunks, B, d_state, d_inner): the layout _ssg_bwd consumes
+        h_starts = jnp.moveaxis(h_bounds[:, :, :, :d_inner], 1, 0)
+        return y, h_last, h_starts
     return y, h_last
+
+
+# One internal time-chunk size shared by the Pallas forward and the chunked
+# reverse backward, so the kernel's saved boundary states line up with what
+# the backward recomputes per chunk.
+_VJP_CHUNK = 128
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=128):
-    """Differentiable wrapper: Pallas forward on TPU, chunked-reverse grad."""
-    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0)
+    """Differentiable wrapper: Pallas forward on TPU; backward is the chunked
+    sequential reverse scan seeded by the kernel's saved boundary states (no
+    forward re-run, no AD through the associative scan)."""
+    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK)
     return y, h_last
 
 
 def _fwd(u, dt, A, B, C, D, h0, chunk):
-    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0)
-    return (y, h_last), (u, dt, A, B, C, D, h0)
+    y, h_last, h_starts = pallas_selective_scan(
+        u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK, return_boundaries=True
+    )
+    return (y, h_last), (u, dt, A, B, C, D, h0, h_starts)
 
 
 def _bwd(chunk, res, cts):
-    u, dt, A, B, C, D, h0 = res
-    from cleanumamba_tpu.ops.scan import selective_scan_grad
+    from cleanumamba_tpu.ops.scan import _ssg_bwd
 
-    # chunked sequential reverse (memory-bounded custom VJP), not AD through
-    # the associative scan
-    def ref(u, dt, A, B, C, D, h0):
-        return selective_scan_grad(u, dt, A, B, C, D, h0, chunk)
-
-    _, vjp = jax.vjp(ref, u, dt, A, B, C, D, h0)
-    return vjp(cts)
+    return _ssg_bwd(_VJP_CHUNK, res, cts)
 
 
 selective_scan_auto.defvjp(_fwd, _bwd)

@@ -35,7 +35,6 @@ def main(argv=None):
         raw = json.load(f)
     pc_raw = raw.get("pruning_config", {})
     known = {f.name for f in PruningConfig.__dataclass_fields__.values()}
-    rename = {"n_prune_channels_per_iter": "n_prune_channels_per_iter"}
     pcfg = PruningConfig(**{k: v for k, v in pc_raw.items() if k in known})
 
     cfg, params, meta = load_any_checkpoint(args.teacher)

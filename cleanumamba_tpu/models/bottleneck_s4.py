@@ -249,6 +249,12 @@ def mixer_forward(p, x, chunk: int = 32):
 # streaming
 # ---------------------------------------------------------------------------
 
+def _jc2r(x):
+    """complex -> (..., 2) real pair (complex leaves cannot cross the jit
+    boundary on the axon TPU relay; all cached complex data rides as pairs)."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+
+
 def mixer_init_cache(p, batch_size: int, dtype=jnp.float32):
     d_inner = p["conv_w"].shape[1]
     d_conv = p["conv_w"].shape[0]
@@ -257,11 +263,11 @@ def mixer_init_cache(p, batch_size: int, dtype=jnp.float32):
     H, N2 = dB.shape
     return {
         "conv_state": jnp.zeros((batch_size, d_conv, d_inner), dtype),
-        "s4_state": jnp.zeros((batch_size, H, N2), jnp.complex64),
+        "s4_state": jnp.zeros((batch_size, H, N2, 2), jnp.float32),
         # discretised system matrices ride in the cache (derived, not params)
-        "dA": jnp.asarray(dA, jnp.complex64),
-        "dB": jnp.asarray(dB, jnp.complex64),
-        "dC": jnp.asarray(dC, jnp.complex64),
+        "dA": _jc2r(dA),
+        "dB": _jc2r(dB),
+        "dC": _jc2r(dC),
     }
 
 
@@ -274,9 +280,10 @@ def mixer_step(p, cache, x):
     xs = jnp.sum(conv_state * p["conv_w"].astype(x.dtype), axis=1) + p["conv_b"].astype(x.dtype)
     xs = jax.nn.silu(xs)
     u = xs @ p["input_linear_w"].astype(xs.dtype) + p["input_linear_b"].astype(xs.dtype)  # (B, H)
-    s = cache["s4_state"]
-    s = jnp.einsum("hmn,bhn->bhm", cache["dA"], s) + cache["dB"][None] * u[..., None].astype(jnp.complex64)
-    y = jnp.einsum("chn,bhn->bch", cache["dC"], s).real  # (B, C=1, H)
+    s = _r2c(cache["s4_state"])
+    dA, dB, dC = _r2c(cache["dA"]), _r2c(cache["dB"]), _r2c(cache["dC"])
+    s = jnp.einsum("hmn,bhn->bhm", dA, s) + dB[None] * u[..., None].astype(jnp.complex64)
+    y = jnp.einsum("chn,bhn->bch", dC, s).real  # (B, C=1, H)
     y = y + u[:, None] * p["ssm_D"].astype(jnp.float32)[None]
     y = y[:, 0].astype(x.dtype)
     y = jax.nn.gelu(y, approximate=False)
@@ -287,7 +294,7 @@ def mixer_step(p, cache, x):
     out = y @ p["out_proj"].astype(y.dtype)
     new_cache = dict(cache)
     new_cache["conv_state"] = conv_state
-    new_cache["s4_state"] = s
+    new_cache["s4_state"] = _jc2r(s)
     return new_cache, out
 
 

@@ -81,6 +81,40 @@ def test_stream_many_matches_step_loop():
     np.testing.assert_allclose(streamed, expect, atol=1e-5)
 
 
+def test_real_checkpoint_streaming_equivalence():
+    """Trained-weight equivalence on the released checkpoints (CPU, fp32).
+
+    The exact invariant: streamed output == offline forward on the input
+    extended with zero padding.  (Plain offline pads only to valid_length,
+    so its last bottleneck tokens never exist and the final ~400 samples
+    see less context; streaming's flush supplies those tokens from zeros —
+    the reference's flush does the same, which is part of why its own
+    offline==streaming test needs atol=0.1, CleanUMamba.py:582.)"""
+    import dataclasses
+    import os
+
+    if not os.path.isdir("/root/reference/checkpoints"):
+        pytest.skip("reference not mounted")
+    from cleanumamba_tpu.convert import load_reference_checkpoint
+    from cleanumamba_tpu.models.cleanumamba import prepare_for_length
+
+    for name in ("Experiment_CleanU_Mamba", "Experiment_CleanU_MambaS4"):
+        cfg, params, _ = load_reference_checkpoint(
+            f"/root/reference/checkpoints/experiments/{name}.pkl"
+        )
+        cfg = dataclasses.replace(cfg, normalize_input=False)
+        L = 12000
+        params = prepare_for_length(params, cfg, L + 2000)
+        x = (np.random.default_rng(0).normal(size=(1, L)) * 0.1).astype(np.float32)
+        x_ext = np.pad(x, ((0, 0), (0, 1000)))
+        offline_ext = np.asarray(forward(params, jnp.asarray(x_ext), cfg))[:, :L]
+        s = Streamer(params, cfg)
+        streamed = np.concatenate([s.feed(x), s.flush()], axis=1)
+        assert streamed.shape[1] == L
+        np.testing.assert_allclose(streamed, offline_ext, atol=2e-4, rtol=1e-3,
+                                   err_msg=name)
+
+
 def test_flush_tail_lengths():
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -160,6 +160,39 @@ def build_torch_model(sd, cfg):
     return run
 
 
+def test_lstm_matches_torch_nn_lstm(rng):
+    """Our LSTM bottleneck vs torch.nn.LSTM itself (true oracle for gate
+    order/semantics), with the released LSTM checkpoint weights."""
+    import os
+
+    if not os.path.isdir("/root/reference/checkpoints"):
+        pytest.skip("reference not mounted")
+    ck = torch.load(
+        "/root/reference/checkpoints/experiments/Experiment_CleanU_LSTM.pkl",
+        map_location="cpu", weights_only=False,
+    )
+    sd = ck["model_state_dict"]
+    lstm = nn.LSTM(input_size=64, hidden_size=64, num_layers=3, bidirectional=False)
+    with torch.no_grad():
+        for l in range(3):
+            getattr(lstm, f"weight_ih_l{l}").copy_(sd[f"tsfm_Mamba_layers.weight_ih_l{l}"].float())
+            getattr(lstm, f"weight_hh_l{l}").copy_(sd[f"tsfm_Mamba_layers.weight_hh_l{l}"].float())
+            getattr(lstm, f"bias_ih_l{l}").copy_(sd[f"tsfm_Mamba_layers.bias_ih_l{l}"].float())
+            getattr(lstm, f"bias_hh_l{l}").copy_(sd[f"tsfm_Mamba_layers.bias_hh_l{l}"].float())
+    x = rng.normal(size=(2, 50, 64)).astype(np.float32)
+    with torch.no_grad():
+        # reference applies nn.LSTM in (T, B, H) layout (CleanUMamba.py:279-282)
+        y_t = lstm(torch.from_numpy(x.transpose(1, 0, 2)))[0].numpy().transpose(1, 0, 2)
+    from cleanumamba_tpu.convert import load_reference_checkpoint
+    from cleanumamba_tpu.models import bottleneck_lstm
+
+    cfg, params, _ = load_reference_checkpoint(
+        "/root/reference/checkpoints/experiments/Experiment_CleanU_LSTM.pkl"
+    )
+    y_j = np.asarray(bottleneck_lstm.forward(params["bottleneck"]["layers"], jnp.asarray(x)))
+    np.testing.assert_allclose(y_j, y_t, atol=1e-5)
+
+
 @requires_reference
 @pytest.mark.parametrize(
     "rel",

@@ -67,11 +67,17 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     bf16: bool = True,
     scan_chunk: int = 32,
+    skip_nonfinite_updates: bool = False,
 ) -> Callable:
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
 
     batch: (clean, noisy) each (accum, B, L) — the leading axis is scanned
     for gradient accumulation (pass accum=1 for plain steps).
+
+    aux["grads_finite"] reports gradient health every step (the anomaly
+    signal the reference gets from torch's detect_anomaly, train.py:427);
+    with skip_nonfinite_updates=True a non-finite step leaves params and
+    optimizer state untouched instead of poisoning them.
     """
 
     def micro_loss(params, clean, noisy):
@@ -103,11 +109,22 @@ def make_train_step(
         n_micro = clean.shape[0]
         grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        grads_finite = jnp.isfinite(grad_norm)  # norm propagates any nan/inf
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        if skip_nonfinite_updates:
+            new_params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(grads_finite, new, old), new_params, params
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(grads_finite, new, old)
+                if hasattr(new, "shape") else new,
+                new_opt_state, opt_state,
+            )
         aux = {k: jnp.mean(v) for k, v in auxs.items()}
         aux["grad_norm"] = grad_norm
-        return params, opt_state, aux
+        aux["grads_finite"] = grads_finite
+        return new_params, new_opt_state, aux
 
     return train_step
 

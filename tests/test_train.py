@@ -126,6 +126,36 @@ def test_multi_device_dp_step():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+def test_nonfinite_grad_detection_and_skip():
+    """aux['grads_finite'] flags NaN batches; skip_nonfinite_updates leaves
+    params untouched on a poisoned step."""
+    cfg = CleanUMambaConfig(**TINY)
+    loss_cfg = LossConfig(stft_lambda=0.0)
+    opt_cfg = OptimizationConfig(n_iters=100)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(opt_cfg, schedule=lambda s: 1e-3)
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=False,
+                                   skip_nonfinite_updates=True))
+    rng = np.random.default_rng(0)
+    clean = rng.normal(size=(1, 2, 2048)).astype(np.float32)
+    noisy = clean + 0.1 * rng.normal(size=clean.shape).astype(np.float32)
+    bad = noisy.copy()
+    bad[0, 0, 100] = np.nan
+    p1, o1, aux = step(params, opt_state, (jnp.asarray(clean), jnp.asarray(bad)))
+    assert not bool(aux["grads_finite"])
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # a clean step proceeds
+    p2, o2, aux2 = step(params, opt_state, (jnp.asarray(clean), jnp.asarray(noisy)))
+    assert bool(aux2["grads_finite"])
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p2), jax.tree_util.tree_leaves(params))
+    )
+    assert changed
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg, params, optimizer, opt_state, step_fn, batch = _tiny_setup()
     d = str(tmp_path)

@@ -39,12 +39,15 @@ class CleanNoisyPairDataset:
         subset: str = "training",
         crop_length_sec: float = 10.0,
         sample_rate: int = 16000,
+        dataset: str = "dns",
     ):
         self.root = root
         self.subset = subset
         self.sample_rate = sample_rate
         self.crop_len = int(crop_length_sec * sample_rate)
-        if subset == "training":
+        if dataset == "VCTK-DEMAND":
+            # VCTK-DEMAND pairs clean/noisy by identical filenames under
+            # training_set/, regardless of subset (reference dataset.py:51-54).
             base = os.path.join(root, "training_set")
             clean_dir = os.path.join(base, "clean")
             noisy_dir = os.path.join(base, "noisy")
@@ -52,6 +55,31 @@ class CleanNoisyPairDataset:
             self.pairs = [
                 (os.path.join(clean_dir, n), os.path.join(noisy_dir, n)) for n in names
             ]
+        elif dataset != "dns":
+            raise ValueError(f"unknown dataset variant: {dataset!r}")
+        elif subset == "training":
+            # DNS convention: fileid_{i}.wav with contiguous ids
+            # (reference dataset.py:55-57).
+            base = os.path.join(root, "training_set")
+            clean_dir = os.path.join(base, "clean")
+            noisy_dir = os.path.join(base, "noisy")
+            n_clean = len(os.listdir(clean_dir))
+            n_noisy = len(os.listdir(noisy_dir))
+            if n_clean != n_noisy:
+                raise ValueError(
+                    f"clean/noisy counts differ: {n_clean} vs {n_noisy}")
+            self.pairs = [
+                (os.path.join(clean_dir, f"fileid_{i}.wav"),
+                 os.path.join(noisy_dir, f"fileid_{i}.wav"))
+                for i in range(n_clean)
+            ]
+            if n_clean and not os.path.exists(self.pairs[0][0]):
+                # tolerate non-fileid naming by same-name pairing
+                names = sorted(os.listdir(clean_dir))
+                self.pairs = [
+                    (os.path.join(clean_dir, n), os.path.join(noisy_dir, n))
+                    for n in names
+                ]
         elif subset == "testing":
             base = os.path.join(root, "datasets", "test_set", "synthetic", "no_reverb")
             if not os.path.isdir(base):

@@ -61,7 +61,23 @@ class PruningConfig:
 
 def get_state(n_iter, batch_size, training_samples, grad_samples, pruning_repeats,
               steps_per_valid, steps_per_ckpt, steps_per_calibrate):
-    """Phase machine (value-parity with reference pruning/util.py:255-306)."""
+    """Phase machine (value-parity with reference pruning/util.py:255-306).
+
+    Fails fast on mis-phased configs (reference :266-269): every phase length
+    must land on a batch boundary or the accumulate/prune/train cadence drifts.
+    """
+    if training_samples % batch_size != 0:
+        raise ValueError(
+            f"training_samples ({training_samples}) must be a multiple of "
+            f"batch_size ({batch_size})")
+    if grad_samples % batch_size != 0:
+        raise ValueError(
+            f"pruning_grad_samples ({grad_samples}) must be a multiple of "
+            f"batch_size ({batch_size})")
+    if steps_per_valid % pruning_repeats != 0:
+        raise ValueError(
+            f"steps_per_valid ({steps_per_valid}) must be a multiple of "
+            f"pruning_repeats ({pruning_repeats})")
     iters_per_step = (grad_samples + training_samples) * pruning_repeats // batch_size
     step = n_iter // iters_per_step
     folded = n_iter % iters_per_step
@@ -71,6 +87,15 @@ def get_state(n_iter, batch_size, training_samples, grad_samples, pruning_repeat
     pruning = folded < grad_samples * pruning_repeats // batch_size
     go_prune = pruning and folded % (grad_samples // batch_size) == (grad_samples // batch_size) - 1
     training_done = folded == iters_per_step - 1
+    # cumulative sample counters (reference :283-290) — consumed by logging.
+    if pruning:
+        prune_samples = prune_step * grad_samples + folded * batch_size % grad_samples
+    else:
+        prune_samples = prune_step * grad_samples + grad_samples
+    train_samples = (
+        (prune_step // pruning_repeats) * training_samples * pruning_repeats
+        + max(0, folded * batch_size - grad_samples * pruning_repeats)
+    )
     return {
         "pruning": pruning,
         "training": not pruning,
@@ -80,6 +105,8 @@ def get_state(n_iter, batch_size, training_samples, grad_samples, pruning_repeat
         "ckpt": prune_step % steps_per_ckpt == steps_per_ckpt - 1 and training_done,
         "calibrate": prune_step % steps_per_calibrate == 0 and folded == 0,
         "prune_step": prune_step,
+        "prune_samples": prune_samples,
+        "train_samples": train_samples,
     }
 
 

@@ -36,6 +36,24 @@ def test_get_state_phases():
     # next macro step repeats
     assert states[12]["pruning"] and states[13]["go_prune"]
     assert states[13]["prune_step"] == 2
+    # cumulative sample counters (reference pruning/util.py:283-290)
+    assert states[0]["prune_samples"] == 0 and states[0]["train_samples"] == 0
+    assert states[2]["prune_samples"] == 4  # after first prune event
+    assert states[4]["prune_samples"] == 8  # training phase: all grad samples seen
+    assert states[11]["train_samples"] == 11 * 2 - 8  # (folded*batch - grad*repeats)
+    assert states[12]["train_samples"] == 16  # one full macro-step of training
+
+
+def test_get_state_rejects_misphased_configs():
+    # grad_samples not a multiple of batch_size
+    with pytest.raises(ValueError, match="pruning_grad_samples"):
+        get_state(0, 3, 9, 4, 2, steps_per_valid=2, steps_per_ckpt=4, steps_per_calibrate=2)
+    # training_samples not a multiple of batch_size
+    with pytest.raises(ValueError, match="training_samples"):
+        get_state(0, 2, 7, 4, 2, steps_per_valid=2, steps_per_ckpt=4, steps_per_calibrate=2)
+    # steps_per_valid not a multiple of pruning_repeats
+    with pytest.raises(ValueError, match="steps_per_valid"):
+        get_state(0, 2, 8, 4, 3, steps_per_valid=2, steps_per_ckpt=4, steps_per_calibrate=2)
 
 
 def test_pruning_pipeline_shrinks_model():

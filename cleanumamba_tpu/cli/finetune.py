@@ -21,6 +21,7 @@ from cleanumamba_tpu.eval.validate import validate
 from cleanumamba_tpu.models.cleanumamba import count_params
 from cleanumamba_tpu.train.checkpoint import save_checkpoint
 from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
+from cleanumamba_tpu.utils import MetricsLogger
 
 
 def main(argv=None):
@@ -55,6 +56,10 @@ def main(argv=None):
         val_ds = CleanNoisyPairDataset(args.data_root, "testing")
     loader = make_loader(ds, args.batch_size)
 
+    import os
+
+    sink = MetricsLogger.for_run(os.path.dirname(args.out.rstrip("/")) or args.out,
+                                 config={"ckpt": args.ckpt, "lr": args.lr})
     L = int(args.crop_sec * 16000)
     t0 = time.time()
     for n_iter in range(args.iters):
@@ -64,11 +69,15 @@ def main(argv=None):
         if n_iter % args.log_every == 0:
             print(f"iter {n_iter}: loss={float(aux['loss']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,
+                     kind="train")
         if n_iter % 1000 == 0 and n_iter > 0:
             metrics = validate(params, cfg, val_ds, max_items=4, pad_to=L)
             print("valid " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+            sink.log(metrics, step=n_iter, kind="valid")
     save_checkpoint(args.out, args.iters - 1, params, opt_state, cfg,
-                    training_time_seconds=time.time() - t0)
+                    run_id=sink.run_id, training_time_seconds=time.time() - t0)
+    sink.close()
     print(f"saved to {args.out}")
 
 

@@ -35,6 +35,7 @@ from cleanumamba_tpu.train.trainer import (
     make_train_step,
     shard_train_step,
 )
+from cleanumamba_tpu.utils import MetricsLogger
 
 
 def main(argv=None):
@@ -84,6 +85,10 @@ def main(argv=None):
         t_prev = ck.get("training_time_seconds", 0.0)
         print(f"resumed from iter {ck['iter']}")
 
+    sink = MetricsLogger.for_run(os.path.join(tc.log_directory, exp_path),
+                                 run_id=run_id, config=raw_exp)
+    run_id = sink.run_id
+
     step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16)
     if n_devices > 1:
         mesh = make_mesh()
@@ -130,10 +135,14 @@ def main(argv=None):
                     f"({time.time()-t0:.0f}s)",
                     flush=True,
                 )
+                sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,
+                         kind="train")
             if n_iter % tc.iters_per_valid == 0 and n_iter > 0:
-                metrics = validate(params, cfg, val_ds, max_items=4, pad_to=L)
+                metrics = validate(params, cfg, val_ds,
+                                   max_items=tc.valid_max_items, pad_to=L)
                 print(f"iter {n_iter}: valid " + " ".join(
                     f"{k}={v:.3f}" for k, v in metrics.items()))
+                sink.log(metrics, step=n_iter, kind="valid")
             if n_iter % tc.iters_per_ckpt == 0 and n_iter > 0:
                 path = save_checkpoint(
                     ckpt_dir, n_iter, params, opt_state, cfg, run_id=run_id,
@@ -144,6 +153,7 @@ def main(argv=None):
 
     save_checkpoint(ckpt_dir, n_iter - 1, params, opt_state, cfg, run_id=run_id,
                     training_time_seconds=time.time() - t0)
+    sink.close()
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
-from typing import List, Sequence, Union
+from typing import List, Optional, Sequence, Union
 
 
 def _ceil_div(a: int, b: int) -> int:
@@ -228,6 +228,9 @@ class TrainConfig:
     ckpt_iter: Union[str, int] = "max"
     iters_per_ckpt: int = 10_000
     iters_per_valid: int = 1_000
+    # None = full test set per mid-training validate (reference
+    # train.py:338-356 validates the whole set)
+    valid_max_items: Optional[int] = None
     optimization: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     # dataset
@@ -263,6 +266,7 @@ def load_train_config(config_json_path: str) -> TrainConfig:
         ckpt_iter=log.get("ckpt_iter", "max"),
         iters_per_ckpt=log.get("iters_per_ckpt", 10_000),
         iters_per_valid=log.get("iters_per_valid", 1_000),
+        valid_max_items=log.get("valid_max_items", None),
         optimization=OptimizationConfig(
             n_iters=opt.get("n_iters", 1_000_000),
             batch_size_total=opt.get("batch_size_total", 2),

@@ -122,9 +122,22 @@ def pruning_pipeline(
     log_fn: Optional[Callable[[dict], None]] = None,
     max_iters: Optional[int] = None,
     bf16: bool = False,
+    start_iter: int = 0,
+    opt_state=None,
+    log_every: Optional[int] = None,
+    log_macs: bool = False,
+    run_id: Optional[str] = None,
 ):
     """Run the prune-train loop.  data_iter yields (clean, noisy) batches of
-    ``batch_size``.  Returns the final (pruned) params + history."""
+    ``batch_size``.  Returns the final (pruned) params + history.
+
+    Resume: pass ``start_iter`` (the checkpointed ``n_iter + 1``) and the
+    checkpointed ``opt_state``; checkpoints land on training_done boundaries
+    so the gradient accumulator is legitimately empty there (reference
+    pruning/util.py load_state :215-253).  ``log_every`` emits periodic
+    training-loss records through ``log_fn``; ``log_macs`` adds a MACs/1s
+    count to each prune-event record (one extra XLA cost-analysis compile
+    per event)."""
 
     def make_loss_and_grad():
         def loss_of(p, clean, noisy):
@@ -143,13 +156,14 @@ def pruning_pipeline(
 
     loss_and_grad = make_loss_and_grad()
     optimizer = make_optimizer()
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
     calibrator = Calibrator(ema_factor=prune_cfg.calibration_ema)
     zero_grads = lambda p: jax.tree_util.tree_map(lambda x: jnp.zeros_like(x), p)
     grads_acc = zero_grads(params)
     grad_batches = 0
     history = []
-    n_iter = 0
+    n_iter = start_iter
     t0 = time.time()
     stopped = None
 
@@ -177,10 +191,16 @@ def pruning_pipeline(
                 v, _ = loss_and_grad(p, *fixed)
                 return v
 
-            calibrator.gather(
+            scales = calibrator.gather(
                 params, cfg, _normalize(grads_acc, grad_batches), groups,
                 loss_sampler, prune_cfg.importance_metric,
             )
+            if log_fn:
+                # persist calibration scales (reference
+                # layerwise_calibration.py:46-55 logs these to wandb)
+                log_fn({"kind": "calibration", "n_iter": n_iter,
+                        "prune_step": state["prune_step"],
+                        "scales": {k: float(v) for k, v in scales.items()}})
 
         if state["pruning"]:
             loss, grads = loss_and_grad(params, clean, noisy)
@@ -207,13 +227,22 @@ def pruning_pipeline(
                 loss_and_grad = make_loss_and_grad()  # retrace for new shapes
                 n_ch = sum(g.n_channels for g in build_groups(params, cfg))
                 rec = {
+                    "kind": "prune",
                     "prune_step": state["prune_step"],
                     "n_iter": n_iter,
+                    "prune_samples": state["prune_samples"],
+                    "train_samples": state["train_samples"],
                     "loss": float(loss),
                     "params": count_params(params),
                     "channels": n_ch,
+                    "min_importance": (
+                        min(imp_min.values()) if imp_min else None),
                     "pruned": {k: len(v) for k, v in selection.items()},
                 }
+                if log_macs:
+                    from cleanumamba_tpu.utils import model_macs
+
+                    rec["macs_per_s"] = model_macs(params, cfg)
                 history.append(rec)
                 if log_fn:
                     log_fn(rec)
@@ -223,17 +252,23 @@ def pruning_pipeline(
             loss, grads = loss_and_grad(params, clean, noisy)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if log_fn and log_every and n_iter % log_every == 0:
+                log_fn({"kind": "train", "n_iter": n_iter,
+                        "prune_step": state["prune_step"],
+                        "train_samples": state["train_samples"],
+                        "loss": float(loss),
+                        "lr": prune_cfg.lr / prune_cfg.lr_divider})
 
         if state["valid"] and validate_fn is not None:
             metrics = validate_fn(params)
             if log_fn:
-                log_fn({"n_iter": n_iter, **metrics})
+                log_fn({"kind": "valid", "n_iter": n_iter, **metrics})
             if metrics.get("stoi", 1.0) < prune_cfg.stoi_stop:
                 stopped = "stoi_floor"
 
         if state["ckpt"] and ckpt_dir:
             save_checkpoint(
-                ckpt_dir, n_iter, params, opt_state, cfg,
+                ckpt_dir, n_iter, params, opt_state, cfg, run_id=run_id,
                 training_time_seconds=time.time() - t0,
                 extra={"prune_step": state["prune_step"]},
             )

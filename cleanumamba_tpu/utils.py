@@ -62,19 +62,34 @@ def model_macs(params, cfg, seconds: float = 1.0, sample_rate: int = 16000) -> O
 
 
 class MetricsLogger:
-    """JSONL metrics log (one object per line, wall-clock stamped) with an
-    optional wandb mirror when the package + login are available."""
+    """Append-only JSONL run tracker — the framework's persistent system of
+    record, replacing the reference's wandb dependency (train.py:196-211,
+    pruning/util.py:146-212).
+
+    One JSON object per line using wandb history-row schema (``_step``,
+    ``_runtime``, ``_timestamp``) plus ``_run_id`` and ``_kind``; every write
+    is flushed so a killed run loses at most the in-flight line.  Reopen with
+    the same ``run_id`` to append (resume); :func:`read_history` reconstructs
+    the full trajectory, tolerating a torn final line.  An optional wandb
+    mirror activates when the package + login are available."""
 
     def __init__(self, path: Optional[str] = None, use_wandb: bool = False,
                  wandb_project: str = "cleanumamba-tpu", run_id: Optional[str] = None,
                  config: Optional[dict] = None):
+        self.run_id = run_id or new_run_id()
         self.path = path
         self._fh = None
+        self._t0 = time.time()
         if path:
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            # resumed runs keep accumulating _runtime from the prior record
+            prior = read_history(path, run_id=self.run_id) if os.path.exists(path) else []
+            if prior:
+                self._t0 -= float(prior[-1].get("_runtime", 0.0))
             self._fh = open(path, "a")
+            if config is not None and not prior:
+                self._write({"_kind": "config", **_jsonable(config)})
         self._wandb = None
-        self.run_id = run_id
         if use_wandb:
             try:  # pragma: no cover - wandb not in the image
                 import wandb
@@ -86,14 +101,26 @@ class MetricsLogger:
             except Exception:
                 self._wandb = None
 
-    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
-        rec = {"t": time.time()}
+    @classmethod
+    def for_run(cls, directory: str, run_id: Optional[str] = None, **kw):
+        """Open ``<directory>/metrics.jsonl`` for ``run_id`` (new id if None)."""
+        return cls(path=os.path.join(directory, "metrics.jsonl"), run_id=run_id, **kw)
+
+    def _write(self, rec: Dict[str, Any]):
+        now = time.time()
+        rec = {"_run_id": self.run_id, "_timestamp": now,
+               "_runtime": now - self._t0, **rec}
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None,
+            kind: str = "train"):
+        rec = {k: _jsonable(v) for k, v in metrics.items()}
         if step is not None:
-            rec["step"] = step
-        rec.update({k: _scalar(v) for k, v in metrics.items()})
+            rec["_step"] = step
+        rec["_kind"] = kind
         if self._fh:
-            self._fh.write(json.dumps(rec) + "\n")
-            self._fh.flush()
+            self._write(rec)
         if self._wandb:  # pragma: no cover
             self._wandb.log(metrics, step=step)
 
@@ -103,8 +130,65 @@ class MetricsLogger:
             self._fh = None
 
 
-def _scalar(v):
+def new_run_id() -> str:
+    return os.urandom(6).hex()
+
+
+def read_history(path: str, run_id: Optional[str] = None,
+                 kind: Optional[str] = None, dedupe: bool = True) -> list:
+    """Reconstruct a run trajectory from a metrics JSONL file.
+
+    Skips torn/corrupt lines (a crash mid-write leaves at most one) and
+    filters by run/kind when given.  ``dedupe`` keeps the LAST record per
+    (_kind, _step): a run resumed from a checkpoint legitimately replays the
+    iterations after the checkpoint boundary, and the replayed record is the
+    one that reflects the surviving state (wandb resume semantics)."""
+    rows = []
+    if not os.path.exists(path):
+        return rows
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if run_id is not None and rec.get("_run_id") != run_id:
+                continue
+            if kind is not None and rec.get("_kind") != kind:
+                continue
+            rows.append(rec)
+    if dedupe:
+        last = {}
+        for i, rec in enumerate(rows):
+            if "_step" in rec:
+                last[(rec.get("_kind"), rec["_step"])] = i
+        keep = set(last.values())
+        rows = [r for i, r in enumerate(rows) if "_step" not in r or i in keep]
+        rows.sort(key=lambda r: (r.get("_step", -1) if "_step" in r else -1,
+                                 r.get("_timestamp", 0.0)))
+    return rows
+
+
+def _jsonable(v):
+    """Coerce to a JSON-serializable value (scalars stay scalar, arrays ->
+    lists, anything else -> str)."""
+    if isinstance(v, (bool, int, float, str)) or v is None:
+        return v
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    if hasattr(v, "ndim"):
+        if getattr(v, "ndim", 1) == 0 or getattr(v, "size", 2) == 1:
+            return float(v)
+        try:
+            return [_jsonable(x) for x in v.tolist()]
+        except Exception:
+            return str(v)
     try:
         return float(v)
     except (TypeError, ValueError):
-        return v
+        return str(v)

@@ -21,10 +21,10 @@ from typing import Dict, Optional
 
 import numpy as np
 
-try:  # optional ITU-T P.862 implementation
+try:  # prefer the ITU reference C library when present
     from pesq import pesq as _pesq_fn
-except ImportError:  # pragma: no cover
-    _pesq_fn = None
+except ImportError:  # from-scratch P.862/P.862.2 (eval/pesq_p862.py)
+    from cleanumamba_tpu.eval.pesq_p862 import pesq_p862 as _pesq_fn
 
 
 # ---------------------------------------------------------------------------
@@ -331,15 +331,17 @@ def eval_waveform(
     out["llr"] = llr(clean, processed, fs)
     out["wss"] = wss(clean, processed, fs)
     out["si_sdr"] = si_sdr(clean, processed)
-    if _pesq_fn is not None:
+    try:
         c16 = np.asarray(clean, np.float32)
         p16 = np.asarray(processed, np.float32)
-        out["pesq_wb"] = float(_pesq_fn(fs, c16, p16, "wb"))
+        out["pesq_wb"] = float(_pesq_fn(fs, c16, p16, "wb")) if fs == 16000 else None
         out["pesq_nb"] = float(_pesq_fn(fs, c16, p16, "nb"))
+    except ValueError:  # e.g. too-short signals
+        out["pesq_wb"] = out["pesq_nb"] = None
+    if out["pesq_wb"] is not None:
         out["csig"], out["cbak"], out["covl"] = composite_scores(
             out["pesq_wb"], out["llr"], out["wss"], out["segsnr"]
         )
     else:
-        out["pesq_wb"] = out["pesq_nb"] = None
         out["csig"] = out["cbak"] = out["covl"] = None
     return out

@@ -120,3 +120,54 @@ def test_stoi_matches_pystoi_if_available():
     ours = stoi(clean, noisy)
     theirs = pystoi.stoi(clean, noisy, 16000)
     assert abs(ours - theirs) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# golden conformance vectors (tests/golden/metrics_golden.json)
+#
+# WSS/LLR/segSNR expectations were cross-computed ONCE by running the
+# reference's own numpy implementations (python_eval.py wss/llr/snr, with
+# its pesq/pystoi imports stubbed) on deterministic synthetic pairs; the
+# STOI expectations come from a second, independently-written from-paper
+# implementation.  exp/gen_metric_goldens.py regenerates the file.
+# ---------------------------------------------------------------------------
+
+def _golden_pairs():
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "exp"))
+    from gen_metric_goldens import make_pairs
+
+    return make_pairs()
+
+
+def _golden_expected():
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "metrics_golden.json")
+    with open(path) as f:
+        return json.load(f)["pairs"]
+
+
+def test_golden_conformance_vectors():
+    expected = _golden_expected()
+    pairs = _golden_pairs()
+    assert set(expected) == {name for name, *_ in pairs}
+    for name, clean, proc in pairs:
+        e = expected[name]
+        got = {
+            "wss": wss(clean, proc),
+            "llr": llr(clean, proc),
+            "segsnr": segmental_snr(clean, proc),
+            "stoi": stoi(clean, proc, 16000),
+        }
+        # WSS is value-parity exact with the reference implementation;
+        # LLR/segSNR differ only in numerically-tiny Levinson details;
+        # STOI against the independent implementation
+        assert got["wss"] == pytest.approx(e["wss"], rel=1e-9, abs=1e-9), name
+        assert got["llr"] == pytest.approx(e["llr"], rel=0.02, abs=0.01), name
+        assert got["segsnr"] == pytest.approx(e["segsnr"], rel=0.01, abs=0.05), name
+        assert got["stoi"] == pytest.approx(e["stoi"], abs=0.005), name

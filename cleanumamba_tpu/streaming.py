@@ -321,20 +321,56 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
     return cache, jnp.swapaxes(ys, 0, 1)
 
 
+def _blockwise_frame_stds(window, fl, ts, N):
+    """Per-frame sliding stds: std of window[:, t*ts : t*ts + fl] for each of
+    the N frames in a block.  (B, N, 1), float32."""
+    idx = jnp.arange(N)[:, None] * ts + jnp.arange(fl)[None, :]
+    frames = window.astype(jnp.float32)[:, idx]  # (B, N, fl)
+    return jnp.std(frames, axis=2, keepdims=True) + 1e-3
+
+
+def _ema_stds(std_now, std0, frames0):
+    """Sequential per-frame EMA, identical to N stream_step updates:
+    s_t = std_t / n_t + (1 - 1/n_t) * s_{t-1},  n_t = frames0 + t + 1.
+
+    std_now: (B, N, 1);  std0: (B, 1).  Returns (B, N) per-frame EMA values.
+    """
+    N = std_now.shape[1]
+    n_t = frames0.astype(jnp.float32) + 1.0 + jnp.arange(N, dtype=jnp.float32)
+
+    def upd(s, inputs):
+        std_t, n = inputs
+        s = std_t / n + (1.0 - 1.0 / n) * s
+        return s, s
+
+    _, ema = jax.lax.scan(upd, std0[:, 0],
+                          (jnp.moveaxis(std_now[:, :, 0], 1, 0), n_t))
+    return jnp.moveaxis(ema, 0, 1)  # (B, N)
+
+
 def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.float32):
     """Block streaming: consume N*total_stride new samples, emit the same.
 
-    Equivalent math to N successive :func:`stream_step` calls (exactly so
-    with normalize_input=False; with normalisation the std EMA updates once
-    per block instead of per frame), but the encoder/decoder work for all N
-    frames runs in parallel and the weights are read from HBM once per block
-    instead of once per frame — the streaming step is weight-bandwidth-bound
-    (docs/performance.md), so throughput scales nearly with N.
+    Math-identical to N successive :func:`stream_step` calls — including
+    ``normalize_input``: the std EMA advances per FRAME (reference
+    CleanUMamba.py:399-401), each frame's level-0 encoder slice is scaled by
+    its own EMA value (suffix windows of consecutive frames overlap by
+    kernel_size - stride samples, which are legitimately consumed twice
+    under two different stds, exactly as per-frame stepping does), and each
+    frame's output is rescaled by its own EMA value.  Levels >= 1 consume
+    level-0 OUTPUTS, which are computed exactly once each, so they need no
+    per-frame treatment.
+
+    The encoder/decoder work for all N frames runs in parallel and the
+    weights are read from HBM once per block instead of once per frame —
+    the streaming step is weight-bandwidth-bound (docs/performance.md), so
+    throughput scales nearly with N.
 
     new_samples: (B, N*total_stride).  Returns (state', (B, N*total_stride)).
     """
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
     ts = cfg.total_stride
+    fl = cfg.frame_length
     N = new_samples.shape[1] // ts
     assert new_samples.shape[1] == N * ts
     strides = _level_strides(cfg)
@@ -342,18 +378,38 @@ def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=
 
     frames = state["frames"] + N
     if cfg.normalize_input:
-        std_now = jnp.std(window.astype(jnp.float32), axis=1, keepdims=True) + 1e-3
-        w = N / frames.astype(jnp.float32)
-        input_std = std_now * w + (1.0 - w) * state["input_std"]
+        std_now = _blockwise_frame_stds(window, fl, ts, N)
+        ema = _ema_stds(std_now, state["input_std"], state["frames"])  # (B, N)
+        input_std = ema[:, -1:]
     else:
+        ema = None
         input_std = state["input_std"]
-
-    x_prev_full = (window[..., None] / input_std[..., None]).astype(dtype) \
-        if cfg.normalize_input else window[..., None].astype(dtype)
 
     skips = []
     enc_caches = []
-    for i, ep in enumerate(params["encoder"]):
+    if cfg.normalize_input:
+        # level 0: per-frame suffix slices, each under its own EMA std
+        B = window.shape[0]
+        per_frame_len = K + S * (strides[0] - 1)
+        starts = fl + jnp.arange(N) * ts - per_frame_len
+        idx = starts[:, None] + jnp.arange(per_frame_len)[None, :]
+        slices = window[:, idx]  # (B, N, per_frame_len)
+        slices = (slices / ema[..., None]).astype(dtype)
+        out0 = encoder_level(
+            params["encoder"][0],
+            slices.reshape(B * N, per_frame_len, 1), cfg, 0,
+        )  # (B*N, strides[0], C0)
+        new_out = out0.reshape(B, N * strides[0], -1)
+        x_full = jnp.concatenate([state["enc"][0], new_out], axis=1)
+        skips.append(x_full)
+        enc_caches.append(x_full[:, N * strides[0]:, :])
+        x_prev_full = x_full
+        level_start = 1
+    else:
+        x_prev_full = window[..., None].astype(dtype)
+        level_start = 0
+
+    for i, ep in list(enumerate(params["encoder"]))[level_start:]:
         n_new = N * strides[i]
         suffix_len = K + S * (n_new - 1)
         new_out = encoder_level(ep, x_prev_full[:, -suffix_len:, :], cfg, i)
@@ -385,7 +441,9 @@ def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=
 
     out = x[:, : N * ts, 0]
     if cfg.normalize_input:
-        out = out * input_std.astype(out.dtype)
+        # per-frame rescale by each frame's own EMA value
+        out = (out.reshape(out.shape[0], N, ts)
+               * ema[..., None].astype(out.dtype)).reshape(out.shape[0], N * ts)
 
     new_state = {
         "input_tail": window[:, N * ts :],

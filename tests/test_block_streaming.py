@@ -22,8 +22,10 @@ MINI = dict(
 
 @pytest.mark.parametrize("bottleneck", ["mamba", "lstm"])
 @pytest.mark.parametrize("N", [1, 4, 7])
-def test_block_equals_per_frame(bottleneck, N):
-    cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
+@pytest.mark.parametrize("normalize_input", [False, True])
+def test_block_equals_per_frame(bottleneck, N, normalize_input):
+    cfg = CleanUMambaConfig(bottleneck=bottleneck,
+                            **{**MINI, "normalize_input": normalize_input})
     params = init_params(jax.random.PRNGKey(0), cfg)
     ts, fl = cfg.total_stride, cfg.frame_length
     n_blocks = 3

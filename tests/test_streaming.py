@@ -58,6 +58,44 @@ def test_streaming_with_normalization_runs():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.parametrize("normalize_input", [False, True])
+def test_feed_chunking_invariance(normalize_input):
+    """Streamer output is independent of how the audio is chunked into
+    feed() calls — in particular the block path (multi-frame feeds) must be
+    identical to per-frame stepping, with normalisation ON and OFF (the
+    per-frame std EMA advances per frame either way, reference
+    CleanUMamba.py:399-401)."""
+    cfg = CleanUMambaConfig(
+        bottleneck="mamba",
+        **{**MINI, "normalize_input": normalize_input},
+    )
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    L = 12000
+    x = np.random.default_rng(3).normal(size=(1, L)).astype(np.float32) * 0.3
+
+    # reference: one-frame-at-a-time feeds (never takes the block path)
+    s1 = Streamer(params, cfg)
+    ts = cfg.total_stride
+    outs1 = [s1.feed(x[:, i : i + ts]) for i in range(0, L, ts)]
+    outs1.append(s1.flush())
+    ref = np.concatenate(outs1, axis=1)
+
+    # big, uneven chunks (block path + pending-buffer bookkeeping)
+    s2 = Streamer(params, cfg)
+    outs2 = []
+    pos = 0
+    for n in (5000, 1234, 3000, L):
+        outs2.append(s2.feed(x[:, pos : pos + n]))
+        pos += n
+        if pos >= L:
+            break
+    outs2.append(s2.flush())
+    got = np.concatenate(outs2, axis=1)
+
+    assert got.shape == ref.shape == (1, L)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
 def test_stream_many_matches_step_loop():
     """On-device lax.scan streaming == python step loop."""
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)

@@ -133,12 +133,13 @@ def convert_state_dict(sd: Dict[str, Any], cfg: CleanUMambaConfig) -> Dict[str, 
 def export_reference_state_dict(params, cfg: CleanUMambaConfig):
     """Inverse conversion: our param pytree -> a reference-format torch
     state dict (fp32), so models trained/pruned in this framework can be
-    loaded by the PyTorch reference via its ``load_pruned_state_dict``.
-    Mamba-family and LSTM bottlenecks supported."""
+    loaded by the PyTorch reference via its ``load_pruned_state_dict``
+    (CleanUMamba.py:492-550).  All five bottlenecks supported: mamba,
+    mamba2, mamba_s4, lstm, and mha (CleanUNet naming)."""
     import torch
 
     def t(x):
-        return torch.from_numpy(np.asarray(x, np.float32))
+        return torch.from_numpy(np.array(x, np.float32, copy=True))
 
     sd = {}
     for i, ep in enumerate(params["encoder"]):
@@ -163,27 +164,63 @@ def export_reference_state_dict(params, cfg: CleanUMambaConfig):
             sd[f"tsfm_Mamba_layers.bias_ih_l{l}"] = t(lp["b_ih"])
             sd[f"tsfm_Mamba_layers.bias_hh_l{l}"] = t(lp["b_hh"])
         return sd
-    if cfg.bottleneck != "mamba":
-        raise NotImplementedError(f"export for {cfg.bottleneck} not implemented")
+    if cfg.bottleneck == "mha":
+        # CleanUNet transformer naming (reference CleanUNet load path)
+        for l, layer in enumerate(bott["layers"]):
+            p = f"tsfm_encoder.layer_stack.{l}"
+            sd[f"{p}.slf_attn.w_qs.weight"] = t(layer["w_qs"]).T.contiguous()
+            sd[f"{p}.slf_attn.w_ks.weight"] = t(layer["w_ks"]).T.contiguous()
+            sd[f"{p}.slf_attn.w_vs.weight"] = t(layer["w_vs"]).T.contiguous()
+            sd[f"{p}.slf_attn.fc.weight"] = t(layer["fc"]).T.contiguous()
+            _export_norm(sd, f"{p}.slf_attn.layer_norm", layer["attn_norm"], t)
+            sd[f"{p}.pos_ffn.w_1.weight"] = t(layer["ffn_w1"]).T.contiguous()
+            sd[f"{p}.pos_ffn.w_1.bias"] = t(layer["ffn_b1"])
+            sd[f"{p}.pos_ffn.w_2.weight"] = t(layer["ffn_w2"]).T.contiguous()
+            sd[f"{p}.pos_ffn.w_2.bias"] = t(layer["ffn_b2"])
+            _export_norm(sd, f"{p}.pos_ffn.layer_norm", layer["ffn_norm"], t)
+        _export_norm(sd, "tsfm_encoder.layer_norm", bott["final_norm"], t)
+        return sd
     for l, layer in enumerate(bott["layers"]):
         p = f"tsfm_Mamba_layers.{l}"
-        sd[f"{p}.norm.weight"] = t(layer["norm"]["scale"])
-        if "bias" in layer["norm"]:
-            sd[f"{p}.norm.bias"] = t(layer["norm"]["bias"])
+        _export_norm(sd, f"{p}.norm", layer["norm"], t)
         m = layer["mixer"]
         sd[f"{p}.mixer.in_proj.weight"] = t(m["in_proj"]).T.contiguous()
         sd[f"{p}.mixer.conv1d.weight"] = t(m["conv_w"]).T[:, None, :].contiguous()
         sd[f"{p}.mixer.conv1d.bias"] = t(m["conv_b"])
-        sd[f"{p}.mixer.x_proj.weight"] = t(m["x_proj"]).T.contiguous()
-        sd[f"{p}.mixer.dt_proj.weight"] = t(m["dt_proj_w"]).T.contiguous()
-        sd[f"{p}.mixer.dt_proj.bias"] = t(m["dt_proj_b"])
-        sd[f"{p}.mixer.A_log"] = t(m["A_log"])
-        sd[f"{p}.mixer.D"] = t(m["D"])
+        if cfg.bottleneck == "mamba":
+            sd[f"{p}.mixer.x_proj.weight"] = t(m["x_proj"]).T.contiguous()
+            sd[f"{p}.mixer.dt_proj.weight"] = t(m["dt_proj_w"]).T.contiguous()
+            sd[f"{p}.mixer.dt_proj.bias"] = t(m["dt_proj_b"])
+            sd[f"{p}.mixer.A_log"] = t(m["A_log"])
+            sd[f"{p}.mixer.D"] = t(m["D"])
+        elif cfg.bottleneck == "mamba2":
+            sd[f"{p}.mixer.dt_bias"] = t(m["dt_bias"])
+            sd[f"{p}.mixer.A_log"] = t(m["A_log"])
+            sd[f"{p}.mixer.D"] = t(m["D"])
+            sd[f"{p}.mixer.norm.weight"] = t(m["norm_w"])
+        elif cfg.bottleneck == "mamba_s4":
+            import torch
+
+            sd[f"{p}.mixer.ssm.input_linear.weight"] = t(m["input_linear_w"]).T.contiguous()
+            sd[f"{p}.mixer.ssm.input_linear.bias"] = t(m["input_linear_b"])
+            k = m["kernel"]
+            for name in ("A_real", "A_imag", "B", "C", "P", "inv_dt"):
+                sd[f"{p}.mixer.ssm.layer.kernel.{name}"] = t(k[name])
+            sd[f"{p}.mixer.ssm.layer.kernel.l_kernel"] = torch.tensor(int(k["l_kernel"]))
+            sd[f"{p}.mixer.ssm.layer.D"] = t(m["ssm_D"])
+            sd[f"{p}.mixer.ssm.output_linear.0.weight"] = t(m["output_linear_w"]).T.contiguous()
+            sd[f"{p}.mixer.ssm.output_linear.0.bias"] = t(m["output_linear_b"])
+        else:
+            raise ValueError(cfg.bottleneck)
         sd[f"{p}.mixer.out_proj.weight"] = t(m["out_proj"]).T.contiguous()
-    sd["norm_f.weight"] = t(bott["norm_f"]["scale"])
-    if "bias" in bott["norm_f"]:
-        sd["norm_f.bias"] = t(bott["norm_f"]["bias"])
+    _export_norm(sd, "norm_f", bott["norm_f"], t)
     return sd
+
+
+def _export_norm(sd, prefix, norm, t):
+    sd[f"{prefix}.weight"] = t(norm["scale"])
+    if "bias" in norm:
+        sd[f"{prefix}.bias"] = t(norm["bias"])
 
 
 def save_reference_checkpoint(path: str, params, cfg: CleanUMambaConfig,

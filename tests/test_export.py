@@ -20,10 +20,14 @@ MINI = dict(channels_H=16, max_H=32, encoder_n_layers=4, tsfm_n_layers=2,
             tsfm_n_head=2, tsfm_d_model=32, tsfm_d_inner=64)
 
 
-@pytest.mark.parametrize("bottleneck", ["mamba", "lstm"])
+@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha", "mamba_s4"])
 def test_export_roundtrip(bottleneck, tmp_path):
     cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if bottleneck == "mamba_s4":
+        from cleanumamba_tpu.models.cleanumamba import prepare_for_length
+
+        params = prepare_for_length(params, cfg, 2000)
     sd = export_reference_state_dict(params, cfg)
     params2 = convert_state_dict(sd, cfg)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):

@@ -36,6 +36,32 @@ def test_pallas_scan_matches_xla(rng, L, chunk, tile_d):
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_r), atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("L,di,chunk,tile_d", [(37, 24, 16, 16), (64, 16, 32, 8)])
+def test_pallas_bwd_matches_xla_reverse(rng, L, di, chunk, tile_d):
+    """pallas_selective_scan_bwd == ops.scan._ssg_bwd on every gradient,
+    including ragged L/d_inner padding and the gh_last seed."""
+    from cleanumamba_tpu.ops.pallas.selective_scan import pallas_selective_scan_bwd
+    from cleanumamba_tpu.ops.scan import _ssg_bwd
+
+    u, dt, A, B, C, D, h0 = _inputs(rng, L=L, di=di)
+    interp = not pallas_available()
+    y, h_last, h_starts = pallas_selective_scan(
+        *(u, dt, A, B, C, D, h0), chunk=chunk, tile_d=tile_d,
+        interpret=interp, return_boundaries=True)
+    gy = jnp.asarray(rng.normal(size=y.shape), jnp.float32)
+    ghl = jnp.asarray(rng.normal(size=h_last.shape), jnp.float32)
+    gu, gdt, gA, gB, gC, gD, gh0 = pallas_selective_scan_bwd(
+        u, dt, A, B, C, D, h_starts, gy, ghl, chunk=chunk, tile_d=tile_d,
+        interpret=interp)
+    res = (u, dt, A, B, C, D, h0, jnp.moveaxis(h_starts, 1, 0))
+    ref = _ssg_bwd(chunk, res, (gy, ghl))
+    names = ("gu", "gdt", "gA", "gB", "gC", "gD", "gh0")
+    for got, want, name in zip((gu, gdt, gA, gB, gC, gD, gh0), ref, names):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+            err_msg=name)
+
+
 def test_custom_vjp_grad_matches_xla(rng):
     if not pallas_available():
         pytest.skip("vjp wrapper forward needs compiled pallas (TPU)")

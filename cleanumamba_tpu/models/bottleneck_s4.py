@@ -61,8 +61,32 @@ class StaticInt:
         return int(self.value)
 
 
+@jax.tree_util.register_static
+@dataclasses.dataclass(frozen=True)
+class StaticStr:
+    """Static string metadata inside a param pytree (kernel mode tags)."""
+
+    value: str
+
+    def __str__(self):
+        return self.value
+
+
 def _lk(kp) -> int:
     return int(kp["l_kernel"])
+
+
+def _on_host_cpu():
+    """Context manager pinning eager ops to the CPU backend.  The axon TPU
+    relay lacks standalone eager kernels for some complex primitives
+    (conjugate); the one-time host-side prep (dense discretisation, kernel
+    doubling, cache build) runs on CPU — results transfer on first use."""
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
+
+
+def _tag(kp, key: str, default: str) -> str:
+    v = kp.get(key)
+    return default if v is None else str(v)
 
 
 def _r2c(x):
@@ -124,6 +148,125 @@ def s4_dplr_kernel(kp, L: int):
 
 
 # ---------------------------------------------------------------------------
+# S4D diagonal kernels (SSMKernelDiag, S4_fuctions.py:964-1151): zoh /
+# bilinear / dss discretisations of a purely diagonal state matrix.  Unlike
+# the DPLR kernel there is no Woodbury correction and no attunement — the
+# kernel is a log-Vandermonde sum evaluated directly for any L.
+# ---------------------------------------------------------------------------
+
+def _diag_views(kp):
+    """dt (H,1), A (H,N), BC (C,H,N) combined per the reference
+    (S4_fuctions.py:1113 ``C = B[:, None] * C``)."""
+    dt = jnp.exp(kp["inv_dt"].astype(jnp.float32))
+    A = -jnp.exp(kp["A_real"].astype(jnp.float32)) - 1j * kp["A_imag"].astype(jnp.float32)
+    B = _r2c(kp["B"].astype(jnp.float32))  # (1, H, N)
+    C = _r2c(kp["C"].astype(jnp.float32))  # (C, H, N)
+    return dt, A, B * C
+
+
+def _log_vandermonde(v, x, L):
+    """2·Re( Σ_n v_n · exp(x_n · l) ) for l in [0, L)
+    (reference log_vandermonde_naive, S4_fuctions.py:153-161)."""
+    ls = jnp.arange(L, dtype=jnp.float32)
+    vm = jnp.exp(x[..., None] * ls)  # (..., N, L)
+    return 2.0 * jnp.einsum("chn,hnl->chl", v, vm).real
+
+
+def s4_diag_kernel(kp, L: int, disc: str = "zoh"):
+    """Length-L S4D convolution kernel K (C, H, L) real.
+
+    Parity with SSMKernelDiag.forward (S4_fuctions.py:1119-1151) for
+    disc in {'zoh', 'bilinear', 'dss'}."""
+    dt, A, BC = _diag_views(kp)
+    dtA = dt * A  # (H, N)
+    if disc == "zoh":
+        v = BC * (jnp.exp(dtA) - 1.0) / A
+        return _log_vandermonde(v, dtA, L)
+    if disc == "bilinear":
+        v = BC * (1.0 / (1.0 - dtA / 2.0)) * dt
+        dA = (1.0 + dtA / 2.0) / (1.0 - dtA / 2.0)
+        return _log_vandermonde(v, jnp.log(dA.astype(jnp.complex64)), L)
+    if disc == "dss":
+        # DSS normalisation; guards eigenvalues with positive real part
+        # (S4_fuctions.py:1131-1148)
+        ls = jnp.arange(L, dtype=jnp.float32)
+        P = dtA[..., None] * ls  # (H, N, L)
+        A_gt_0 = A.real > 0
+        P_max = dtA * (A_gt_0 * (L - 1))
+        P = P - P_max[..., None]
+        S = jnp.exp(P)
+        dtA_neg = dtA * (1 - 2 * A_gt_0)
+        num = jnp.exp(dtA_neg) - 1.0
+        den = jnp.exp(dtA_neg * L) - 1.0
+        x = den * A
+        r = jnp.conj(x) / (x * jnp.conj(x) + 1e-7)
+        v = BC * num * r
+        return jnp.einsum("chn,hnl->chl", v, S).real
+    raise ValueError(f"disc={disc!r} not supported (zoh|bilinear|dss)")
+
+
+def s4_diag_discrete(kp, disc: str = "zoh"):
+    """Diagonal discretised system for streaming: dA, dB (H, N) complex and
+    dC (C, H, N) with the implicit conjugate-pair doubling folded into dC
+    (y = 2·Re(Σ dC·s)); mirrors SSMKernelDiag._setup_step."""
+    dt = jnp.exp(kp["inv_dt"].astype(jnp.float32))
+    A = -jnp.exp(kp["A_real"].astype(jnp.float32)) - 1j * kp["A_imag"].astype(jnp.float32)
+    B = _r2c(kp["B"].astype(jnp.float32))[0]  # (H, N)
+    C = _r2c(kp["C"].astype(jnp.float32))  # (C, H, N)
+    dtA = dt * A
+    if disc == "zoh":
+        dA = jnp.exp(dtA)
+        dB = B * (jnp.exp(dtA) - 1.0) / A
+    elif disc == "bilinear":
+        dA = (1.0 + dtA / 2.0) / (1.0 - dtA / 2.0)
+        dB = B * (1.0 / (1.0 - dtA / 2.0)) * dt
+    else:
+        raise ValueError(f"disc={disc!r} has no step form (zoh|bilinear)")
+    return dA, dB, 2.0 * C
+
+
+# Kernel registry (reference S4_fuctions.py:1612-1618): name -> callable
+# (kernel_params, L) -> (C, H, L).  The diag entries close over their
+# discretisation; 'dss' is exposed under its own name as in the DSS paper.
+kernel_registry = {
+    "s4d": lambda kp, L: s4_diag_kernel(kp, L, disc=_tag(kp, "disc", "zoh")),
+    "diag": lambda kp, L: s4_diag_kernel(kp, L, disc=_tag(kp, "disc", "zoh")),
+    "dss": lambda kp, L: s4_diag_kernel(kp, L, disc="dss"),
+    "s4": lambda kp, L: s4_dplr_kernel(kp, L),
+    "nplr": lambda kp, L: s4_dplr_kernel(kp, L),
+    "dplr": lambda kp, L: s4_dplr_kernel(kp, L),
+}
+
+
+def s4_kernel(kp, L: int):
+    """Dispatch on the kernel params' static ``mode`` tag (default dplr —
+    the mode every released CleanUMamba checkpoint uses)."""
+    return kernel_registry[_tag(kp, "mode", "dplr")](kp, L)
+
+
+def s4d_init_kernel(H: int, N: int = 64, disc: str = "zoh",
+                    dt_min: float = 0.001, dt_max: float = 0.1, seed: int = 0):
+    """S4D kernel params: HiPPO-LegS diagonal approximation (the reference's
+    default `legs` init with the low-rank part dropped, S4D paper §3) over
+    the conjugate half N//2; dt log-uniform (init_dt, S4_fuctions.py:809-824)."""
+    w, _, B_c = _hippo_legs_nplr(N)
+    rng = np.random.default_rng(seed)
+    n = N // 2
+    C = (rng.normal(size=(1, H, n)) + 1j * rng.normal(size=(1, H, n))) / math.sqrt(2)
+    inv_dt = rng.uniform(math.log(dt_min), math.log(dt_max), size=(H, 1))
+    A = np.tile(w[None, :], (H, 1))
+    return {
+        "A_real": np.log(np.maximum(-A.real, 1e-4)).astype(np.float32),
+        "A_imag": (-A.imag).astype(np.float32),
+        "B": _c2r(np.tile(B_c[None, None, :], (1, H, 1))),
+        "C": _c2r(C),
+        "inv_dt": inv_dt.astype(np.float32),
+        "mode": StaticStr(disc if disc == "dss" else "s4d"),
+        "disc": StaticStr(disc),
+    }
+
+
+# ---------------------------------------------------------------------------
 # dense discretised system (for streaming + kernel-length doubling)
 # ---------------------------------------------------------------------------
 
@@ -179,10 +322,13 @@ def extend_kernel_length(kp: Dict, L: int) -> Dict:
     the C~ parameter; reference _setup_C doubling, S4_fuctions.py:1208-1234).
     Returns new kernel params dict."""
     kp = dict(kp)
+    if "l_kernel" not in kp:  # diagonal kernels need no attunement
+        return kp
     l_ker = int(kp["l_kernel"])
     if 0 < l_ker and L <= l_ker:
         return kp
-    dA = np.asarray(_dense_discrete(kp)[0], np.complex128)
+    with _on_host_cpu():
+        dA = np.asarray(_dense_discrete(kp)[0], np.complex128)
     C = np.asarray(kp["C"], np.float64)
     Cc = _conj_extend(C[..., 0] + 1j * C[..., 1])  # (C, H, 2N)
     N = C.shape[-2]
@@ -216,7 +362,7 @@ def _s4block_forward(p, x):
     u = x @ p["input_linear_w"].astype(x.dtype) + p["input_linear_b"].astype(x.dtype)
     # FFT long convolution (MambaS4.py:127-136): pad to 2L, causal
     B_, L, H = u.shape
-    k = s4_dplr_kernel(p["kernel"], L)  # (C=1, H, L)
+    k = s4_kernel(p["kernel"], L)  # (C=1, H, L), mode-dispatched
     n = 2 * L
     uf = jnp.fft.rfft(u.astype(jnp.float32), n=n, axis=1)  # (B, F, H)
     kf = jnp.fft.rfft(k.astype(jnp.float32), n=n, axis=-1)  # (C, H, F)
@@ -258,16 +404,23 @@ def _jc2r(x):
 def mixer_init_cache(p, batch_size: int, dtype=jnp.float32):
     d_inner = p["conv_w"].shape[1]
     d_conv = p["conv_w"].shape[0]
-    dA, dB = _dense_discrete(p["kernel"])
-    dC = _dC_from_Ctilde(p["kernel"], dA)
+    with _on_host_cpu():
+        if "P" in p["kernel"]:  # DPLR: dense rank-1 system + de-attuned C
+            dA, dB = _dense_discrete(p["kernel"])
+            dC = _dC_from_Ctilde(p["kernel"], dA)
+        else:  # diagonal (S4D): half-system, conj doubling folded into dC
+            dAd, dB, dC = s4_diag_discrete(
+                p["kernel"], _tag(p["kernel"], "disc", "zoh"))
+            dA = dAd[:, :, None] * jnp.eye(dAd.shape[-1], dtype=jnp.complex64)[None]
+        dA_r, dB_r, dC_r = _jc2r(dA), _jc2r(dB), _jc2r(dC)
     H, N2 = dB.shape
     return {
         "conv_state": jnp.zeros((batch_size, d_conv, d_inner), dtype),
         "s4_state": jnp.zeros((batch_size, H, N2, 2), jnp.float32),
         # discretised system matrices ride in the cache (derived, not params)
-        "dA": _jc2r(dA),
-        "dB": _jc2r(dB),
-        "dC": _jc2r(dC),
+        "dA": dA_r,
+        "dB": dB_r,
+        "dC": dC_r,
     }
 
 
@@ -327,9 +480,13 @@ def _hippo_legs_nplr(N: int):
 
 
 def mixer_init(key, cfg, dtype=jnp.float32, d_state_s4: int = 16, n_modes: int = 64,
-               dt_min: float = 0.001, dt_max: float = 0.1):
+               dt_min: float = 0.001, dt_max: float = 0.1,
+               kernel_type: str = "dplr"):
     """MambaS4 init: torch Linear defaults for projections; HiPPO-LegS NPLR
-    for the kernel; dt log-uniform; C ~ complex randn."""
+    for the kernel; dt log-uniform; C ~ complex randn.
+
+    kernel_type: any kernel_registry name — 'dplr' (default, what the
+    released checkpoints use) or 's4d'/'diag'/'dss' for the diagonal family."""
     d_model = cfg.tsfm_d_model
     d_inner = cfg.d_inner
     d_conv = cfg.d_conv
@@ -341,21 +498,28 @@ def mixer_init(key, cfg, dtype=jnp.float32, d_state_s4: int = 16, n_modes: int =
         return jax.random.uniform(k, shape, dtype, -bound, bound)
 
     conv_bound = 1.0 / math.sqrt(d_conv)
-    w, P_c, B_c = _hippo_legs_nplr(n_modes)
-    N = n_modes // 2
-    rng = np.random.default_rng(int(jax.random.randint(ks[5], (), 0, 2**31 - 1)))
-    C = (rng.normal(size=(1, H, N)) + 1j * rng.normal(size=(1, H, N))) / math.sqrt(2)
-    inv_dt = rng.uniform(math.log(dt_min), math.log(dt_max), size=(H, 1))
-    A_tiled = np.tile(w[None, :], (H, 1))
-    kernel = {
-        "A_real": np.log(-A_tiled.real).astype(np.float32),
-        "A_imag": (-A_tiled.imag).astype(np.float32),
-        "B": _c2r(np.tile(B_c[None, None, :], (1, H, 1))),
-        "C": _c2r(C),
-        "P": _c2r(np.tile(P_c[None, None, :], (1, H, 1))),
-        "inv_dt": inv_dt.astype(np.float32),
-        "l_kernel": StaticInt(0),
-    }
+    seed = int(jax.random.randint(ks[5], (), 0, 2**31 - 1))
+    if kernel_type in ("s4d", "diag", "dss"):
+        disc = "dss" if kernel_type == "dss" else "zoh"
+        kernel = s4d_init_kernel(H, n_modes, disc=disc, dt_min=dt_min,
+                                 dt_max=dt_max, seed=seed)
+        rng = np.random.default_rng(seed + 1)
+    else:
+        w, P_c, B_c = _hippo_legs_nplr(n_modes)
+        N = n_modes // 2
+        rng = np.random.default_rng(seed)
+        C = (rng.normal(size=(1, H, N)) + 1j * rng.normal(size=(1, H, N))) / math.sqrt(2)
+        inv_dt = rng.uniform(math.log(dt_min), math.log(dt_max), size=(H, 1))
+        A_tiled = np.tile(w[None, :], (H, 1))
+        kernel = {
+            "A_real": np.log(-A_tiled.real).astype(np.float32),
+            "A_imag": (-A_tiled.imag).astype(np.float32),
+            "B": _c2r(np.tile(B_c[None, None, :], (1, H, 1))),
+            "C": _c2r(C),
+            "P": _c2r(np.tile(P_c[None, None, :], (1, H, 1))),
+            "inv_dt": inv_dt.astype(np.float32),
+            "l_kernel": StaticInt(0),
+        }
     out_bound = 1.0 / math.sqrt(d_inner)
     out = jax.random.uniform(ks[4], (d_inner, d_model), jnp.float32, -out_bound, out_bound)
     out = out / math.sqrt(cfg.tsfm_n_layers)

@@ -129,14 +129,14 @@ def test_stoi_matches_pystoi_if_available():
 # reference's own numpy implementations (python_eval.py wss/llr/snr, with
 # its pesq/pystoi imports stubbed) on deterministic synthetic pairs; the
 # STOI expectations come from a second, independently-written from-paper
-# implementation.  exp/gen_metric_goldens.py regenerates the file.
+# implementation.  tests/golden/gen_metric_goldens.py regenerates the file.
 # ---------------------------------------------------------------------------
 
 def _golden_pairs():
     import os
     import sys
 
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "exp"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
     from gen_metric_goldens import make_pairs
 
     return make_pairs()

@@ -161,3 +161,67 @@ def test_flush_tail_lengths():
         s = Streamer(params, cfg)
         out = np.concatenate([s.feed(x), s.flush()], axis=1)
         assert out.shape == (1, L), (L, out.shape)
+
+
+def test_mha_ring_cache_beyond_window():
+    """Streaming MHA past the KV window degrades to sliding-window attention
+    over exactly the last max_len tokens — the ring must evict oldest-first
+    and mask nothing once full (VERDICT weak #5: behaviour beyond the 10 s
+    window was untested).  Oracle: per-layer explicit-history windowed
+    attention."""
+    import math
+
+    from cleanumamba_tpu.config import CleanUMambaConfig
+    from cleanumamba_tpu.models import bottleneck_mha as mha
+    from cleanumamba_tpu.ops.norms import layer_norm
+
+    cfg = CleanUMambaConfig(
+        channels_H=8, max_H=16, encoder_n_layers=4, tsfm_n_layers=2,
+        tsfm_n_head=2, tsfm_d_model=16, tsfm_d_inner=32, bottleneck="mha",
+    )
+    params = mha.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    T, W, B = 20, 8, 2
+    xs = jnp.asarray(rng.normal(size=(T, B, cfg.tsfm_d_model)) * 0.5, jnp.float32)
+
+    cache = mha.init_cache(params, cfg, B, max_len=W)
+    stream_out = []
+    for t in range(T):
+        cache, y = mha.step(params, cfg, cache, xs[t])
+        stream_out.append(np.asarray(y))
+
+    # oracle: keep each layer's full streamed input history; attend over the
+    # last W entries only (mirrors step()'s math with explicit windows)
+    eps = cfg.norm_epsilon
+    n_head = cfg.tsfm_n_head
+    hist = [[] for _ in params["layers"]]
+    for t in range(T):
+        x = xs[t]
+        for li, p in enumerate(params["layers"]):
+            hist[li].append(x)
+            window = jnp.stack(hist[li][-W:], axis=1)  # (B, <=W, d)
+            residual = x
+            q = x @ p["w_qs"]
+            k = window @ p["w_ks"]
+            v = window @ p["w_vs"]
+            d = q.shape[-1]
+            d_k = d // n_head
+            qh = q.reshape(B, n_head, d_k)
+            kh = k.reshape(B, -1, n_head, d_k)
+            vh = v.reshape(B, -1, n_head, d_k)
+            logits = jnp.einsum("bhd,bshd->bhs", qh, kh) / math.sqrt(d_k)
+            attn = jax.nn.softmax(logits, axis=-1)
+            a = jnp.einsum("bhs,bshd->bhd", attn, vh).reshape(B, d)
+            a = a @ p["fc"]
+            x = layer_norm(a + residual, p["attn_norm"]["scale"],
+                           p["attn_norm"]["bias"], eps)
+            residual = x
+            f = jax.nn.relu(x @ p["ffn_w1"] + p["ffn_b1"])
+            f = f @ p["ffn_w2"] + p["ffn_b2"]
+            x = layer_norm(f + residual, p["ffn_norm"]["scale"],
+                           p["ffn_norm"]["bias"], eps)
+        x = layer_norm(x, params["final_norm"]["scale"],
+                       params["final_norm"]["bias"], eps)
+        np.testing.assert_allclose(
+            stream_out[t], np.asarray(x), atol=2e-5, rtol=2e-4,
+            err_msg=f"step {t}")

@@ -475,17 +475,39 @@ class Streamer:
     steps the jitted frame functions, returns denoised audio incrementally.
     """
 
-    def __init__(self, params, cfg: CleanUMambaConfig, batch: int = 1, dtype=jnp.float32):
-        self.params = params
+    def __init__(self, params, cfg: CleanUMambaConfig, batch: int = 1,
+                 dtype=jnp.float32, weights: str = "fp32"):
+        """weights: "fp32" | "bf16" | "int8" — storage precision of the
+        weight tensors the per-frame step streams from HBM.  Single-frame
+        latency is weight-bandwidth-bound, so this is the latency lever:
+        "bf16" halves the traffic, "int8" (per-channel scales, dequantized
+        inside the jitted step) halves it again.  State/activation math
+        stays in ``dtype``."""
+        if weights == "int8":
+            from cleanumamba_tpu.quant import dequantize_params, quantize_params
+
+            self.params = quantize_params(params)
+            view = lambda p: dequantize_params(p, dtype)  # noqa: E731
+        elif weights == "bf16":
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
+                else x,
+                params,
+            )
+            view = lambda p: p  # noqa: E731
+        else:
+            self.params = params
+            view = lambda p: p  # noqa: E731
         self.cfg = cfg
         self.dtype = dtype
         self.batch = batch
-        self._prime = jax.jit(lambda p, f: stream_prime(p, cfg, f, dtype))
-        self._step = jax.jit(lambda p, s, n: stream_step(p, cfg, s, n, dtype))
+        self._prime = jax.jit(lambda p, f: stream_prime(view(p), cfg, f, dtype))
+        self._step = jax.jit(lambda p, s, n: stream_step(view(p), cfg, s, n, dtype))
         # block step: all frames available in a feed() run as ONE parallel
         # block (weights read once per block, not once per frame) — see
         # stream_step_block / docs/performance.md
-        self._block = jax.jit(lambda p, s, n: stream_step_block(p, cfg, s, n, dtype))
+        self._block = jax.jit(lambda p, s, n: stream_step_block(view(p), cfg, s, n, dtype))
         self.state = None
         self.pending = np.zeros((batch, 0), np.float32)
         self.fed = 0

@@ -89,12 +89,14 @@ def main(argv=None):
                                  run_id=run_id, config=raw_exp)
     run_id = sink.run_id
 
-    step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16)
     if n_devices > 1:
+        step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
+                                  axis_name="data")
         mesh = make_mesh()
         step_fn = shard_train_step(step_fn, mesh)
         ctx = mesh
     else:
+        step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16)
         step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
         import contextlib
 

@@ -68,6 +68,7 @@ def make_train_step(
     bf16: bool = True,
     scan_chunk: int = 32,
     skip_nonfinite_updates: bool = False,
+    axis_name: Optional[str] = None,
 ) -> Callable:
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
 
@@ -78,6 +79,11 @@ def make_train_step(
     signal the reference gets from torch's detect_anomaly, train.py:427);
     with skip_nonfinite_updates=True a non-finite step leaves params and
     optimizer state untouched instead of poisoning them.
+
+    axis_name: set (e.g. "data") when the step will run under
+    :func:`shard_train_step`'s shard_map — gradients and scalar aux are
+    pmean'd over that mesh axis before the optimizer update, so every
+    device applies the identical update to its replicated params.
     """
 
     def micro_loss(params, clean, noisy):
@@ -108,6 +114,9 @@ def make_train_step(
         grads, (losses, auxs) = jax.lax.scan(micro, zero, (clean, noisy))
         n_micro = clean.shape[0]
         grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            auxs = jax.lax.pmean(auxs, axis_name)
         grad_norm = optax.global_norm(grads)
         grads_finite = jnp.isfinite(grad_norm)  # norm propagates any nan/inf
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
@@ -129,17 +138,25 @@ def make_train_step(
     return train_step
 
 
-def shard_train_step(train_step, mesh: Mesh):
-    """jit the step with batch sharded over the mesh's data axis and params
-    replicated — XLA inserts the psum gradient reduction over ICI."""
-    repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P(None, "data"))  # (accum, B, L): shard B
-    return jax.jit(
+def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
+    """Data-parallel step over the mesh via ``shard_map``: batch sharded on
+    ``axis_name``, params replicated, the gradient pmean riding ICI.
+
+    The step must be built with ``make_train_step(..., axis_name=...)`` so
+    the pmean happens inside (unlike GSPMD auto-partitioning, shard_map
+    hands each device its LOCAL batch shard — which is also what lets the
+    Pallas scan kernels run per-device without XLA having to partition a
+    custom call it cannot see into)."""
+    from jax.experimental.shard_map import shard_map
+
+    stepped = shard_map(
         train_step,
-        in_shardings=(repl, repl, (batch_sh, batch_sh)),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
+        mesh=mesh,
+        in_specs=(P(), P(), (P(None, axis_name), P(None, axis_name))),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
     )
+    return jax.jit(stepped, donate_argnums=(0, 1))
 
 
 @dataclasses.dataclass

@@ -110,7 +110,12 @@ def test_multi_device_dp_step():
     """DP over the 8-device CPU mesh: batch sharded, params replicated."""
     assert jax.device_count() >= 8
     mesh = make_mesh(8)
-    cfg, params, optimizer, opt_state, step_fn, _ = _tiny_setup(batch=8)
+    cfg, params, optimizer, opt_state, _, _ = _tiny_setup(batch=8)
+    loss_cfg = LossConfig(
+        stft_config=STFTLossConfig(fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,))
+    )
+    step_fn = make_train_step(cfg, loss_cfg, optimizer, bf16=False,
+                              axis_name="data")
     sharded = shard_train_step(step_fn, mesh)
     rng = np.random.default_rng(2)
     clean = rng.normal(size=(1, 8, 2048)).astype(np.float32)

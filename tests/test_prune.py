@@ -190,3 +190,43 @@ def test_calc_importance_expression():
     np.testing.assert_allclose(calc_importance(imps, "a*b/n"), [0.5, 2.0])
     np.testing.assert_allclose(calc_importance(imps, "a**2"), [1.0, 4.0])
     np.testing.assert_allclose(calc_importance(imps, "a+b-a"), [2.0, 4.0])
+
+
+def test_importance_loss_experiment_and_scatter(setup, tmp_path):
+    """Port of the reference calibration harness (layerwise_calibration.py
+    :161-276): per-group random-prune probes record loss change next to the
+    importance metrics, rows land in the JSONL sink, and the scatter
+    renders."""
+    from cleanumamba_tpu.losses import loss_fn as _loss_fn
+    from cleanumamba_tpu.config import LossConfig, STFTLossConfig
+    from cleanumamba_tpu.models.cleanumamba import forward as _fwd
+    from cleanumamba_tpu.prune.calibrate import (
+        importance_loss_experiment,
+        scatter_importance_loss,
+    )
+    from cleanumamba_tpu.utils import MetricsLogger, read_history
+
+    cfg, params, grads, noisy = setup
+    clean = noisy * 0.9
+    lc = LossConfig(stft_config=STFTLossConfig(
+        fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,)))
+
+    def loss_sampler(p):
+        return float(_loss_fn(clean, _fwd(p, noisy, cfg), lc)[0])
+
+    groups = [g for g in build_groups(params, cfg)][:3]
+    sink = MetricsLogger.for_run(str(tmp_path))
+    rows = importance_loss_experiment(
+        params, cfg, grads, groups, loss_sampler,
+        sample_size=2, n_remove=2, sink=sink, verbose=False)
+    sink.close()
+    assert len(rows) == 6
+    for r in rows:
+        assert np.isfinite(r["loss_change"])
+        assert r["weight_imp"] is not None and r["weight_imp"] > 0
+        assert r["taylor_ind_imp"] is not None
+    hist = read_history(str(tmp_path / "metrics.jsonl"))
+    assert sum(1 for h in hist if h.get("_kind") == "calibration_experiment") == 6
+    png = scatter_importance_loss(rows, out_path=str(tmp_path / "s.png"))
+    import os
+    assert os.path.getsize(png) > 1000

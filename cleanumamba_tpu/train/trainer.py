@@ -89,10 +89,15 @@ def make_train_step(
     def micro_loss(params, clean, noisy):
         p = params
         if bf16:
+            # cast params AND input: activations follow the input dtype, and
+            # at L=160k the (B, L, C) encoder/decoder activations dominate
+            # HBM traffic — weights-only bf16 leaves them fp32 (mixed-dtype
+            # matmuls promote).  Scan state and the loss stay fp32.
             p = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
                 params,
             )
+            noisy = noisy.astype(jnp.bfloat16)
         denoised = forward(p, noisy, model_cfg, chunk=scan_chunk)
         loss, aux = loss_fn(denoised.astype(jnp.float32), clean.astype(jnp.float32), loss_cfg)
         return loss, aux

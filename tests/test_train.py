@@ -68,8 +68,11 @@ def test_schedule_matches_reference_semantics():
     assert all(a >= b for a, b in zip(vals, vals[1:]))
 
 
-def test_loss_decreases_overfit():
-    cfg, params, optimizer, opt_state, step_fn, batch = _tiny_setup()
+@pytest.mark.parametrize("bf16", [False, True])
+def test_loss_decreases_overfit(bf16):
+    """bf16=True runs the full bf16-activation path (params AND input cast;
+    fp32 master weights, fp32 scan state/loss) — must still overfit."""
+    cfg, params, optimizer, opt_state, step_fn, batch = _tiny_setup(bf16=bf16)
     step_fn = jax.jit(step_fn)
     losses = []
     for i in range(60):

@@ -83,15 +83,19 @@ def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,
 
     h_bounds_ref[0, 0] = h_scratch[:]
 
+    f32 = jnp.float32
     A = A_ref[:]  # (d_state, TILE_D)
-    dt = dt_ref[0]  # (CHUNK, TILE_D)
-    u = u_ref[0]
+    # inputs stream in their native dtype (bf16 under mixed-precision
+    # training — HALF the HBM traffic of a pre-cast f32 copy); all math f32
+    dt = dt_ref[0].astype(f32)  # (CHUNK, TILE_D)
+    u = u_ref[0].astype(f32)
     a = jnp.exp(dt[:, None, :] * A[None])  # (CHUNK, d_state, TILE_D)
-    b = (dt * u)[:, None, :] * B_ref[0][:, :, None]
+    b = (dt * u)[:, None, :] * B_ref[0].astype(f32)[:, :, None]
     a_cum, b_cum = _pair_scan(a, b)
     h = a_cum * h_scratch[None] + b_cum  # (CHUNK, d_state, TILE_D)
     h_scratch[:] = h[u.shape[0] - 1]
-    y_ref[0] = jnp.sum(h * C_ref[0][:, :, None], axis=1) + D_ref[0] * u
+    y = jnp.sum(h * C_ref[0].astype(f32)[:, :, None], axis=1) + D_ref[0] * u
+    y_ref[0] = y.astype(y_ref.dtype)
 
     @pl.when(chunk_idx == n_chunks - 1)
     def _():
@@ -127,7 +131,8 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
     Bsz, L, d_inner = u.shape
     d_state = A.shape[1]
     f32 = jnp.float32
-    u, dt, B, C = (x.astype(f32) for x in (u, dt, B, C))
+    # u/dt/B/C stream to the kernel in their own dtype (cast happens in
+    # VMEM); A/D/h0 are small and ride fp32
     A = A.astype(f32)
     Dv = jnp.zeros((d_inner,), f32) if D is None else D.astype(f32)
     if h0 is None:
@@ -176,7 +181,7 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
             pl.BlockSpec((1, 1, d_state, tile_d), lambda b, d, c: (b, c, 0, d)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bsz, Lp, Dp), f32),
+            jax.ShapeDtypeStruct((Bsz, Lp, Dp), u.dtype),
             jax.ShapeDtypeStruct((Bsz, d_state, Dp), f32),
             jax.ShapeDtypeStruct((Bsz, n_chunks, d_state, Dp), f32),
         ],
@@ -217,12 +222,13 @@ def _scan_bwd_kernel(u_ref, dt_ref, dtn_ref, B_ref, C_ref, gy_ref, A_ref,
     n_chunks = pl.num_programs(1)
     d = pl.program_id(2)
 
+    f32 = jnp.float32
     A = A_ref[:]  # (d_state, TILE_D)
-    u = u_ref[0]  # (T, TILE_D)
-    dt = dt_ref[0]
-    gy = gy_ref[0]
-    Bc = B_ref[0]  # (T, d_state)
-    Cc = C_ref[0]
+    u = u_ref[0].astype(f32)  # (T, TILE_D); streams in native (bf16) dtype
+    dt = dt_ref[0].astype(f32)
+    gy = gy_ref[0].astype(f32)
+    Bc = B_ref[0].astype(f32)  # (T, d_state)
+    Cc = C_ref[0].astype(f32)
     h_start = hs_ref[0, 0]  # (d_state, TILE_D)
     T = u.shape[0]
 
@@ -243,7 +249,7 @@ def _scan_bwd_kernel(u_ref, dt_ref, dtn_ref, B_ref, C_ref, gy_ref, A_ref,
     h_prev = jnp.concatenate([h_start[None], h[: T - 1]], axis=0)
 
     # λ suffix scan over (a_next, q), seeded by the right-chunk carry
-    a_next = jnp.exp(dtn_ref[0][:, None, :] * A[None])
+    a_next = jnp.exp(dtn_ref[0].astype(f32)[:, None, :] * A[None])
     q = gy[:, None, :] * Cc[:, :, None]
     ac, qc = _pair_scan(a_next, q, reverse=True)
     lam = qc + ac * lam_scratch[d][None]  # (T, s, TILE_D)
@@ -251,8 +257,8 @@ def _scan_bwd_kernel(u_ref, dt_ref, dtn_ref, B_ref, C_ref, gy_ref, A_ref,
 
     lha = lam * h_prev * a
     lamB = jnp.sum(lam * Bc[:, :, None], axis=1)  # (T, TILE_D)
-    gdt_ref[0] = jnp.sum(lha * A[None], axis=1) + lamB * u
-    gu_ref[0] = dt * lamB + D_ref[0] * gy
+    gdt_ref[0] = (jnp.sum(lha * A[None], axis=1) + lamB * u).astype(gdt_ref.dtype)
+    gu_ref[0] = (dt * lamB + D_ref[0] * gy).astype(gu_ref.dtype)
     gB_blk = jnp.sum(lam * (dt * u)[:, None, :], axis=2)  # (T, d_state)
     gC_blk = jnp.sum(h * gy[:, None, :], axis=2)
 
@@ -290,7 +296,7 @@ def pallas_selective_scan_bwd(u, dt, A, B, C, D, h_starts, gy, gh_last,
     Bsz, L, d_inner = u.shape
     d_state = A.shape[1]
     f32 = jnp.float32
-    u, dt, B, C, gy = (x.astype(f32) for x in (u, dt, B, C, gy))
+    # u/dt/B/C/gy stream to the kernel in their own dtype (cast in VMEM)
     A = A.astype(f32)
     Dv = jnp.zeros((d_inner,), f32) if D is None else D.astype(f32)
     ghl = gh_last.astype(f32)
@@ -349,9 +355,9 @@ def pallas_selective_scan_bwd(u, dt, A, B, C, D, h_starts, gy, gh_last,
             pl.BlockSpec((1, d_state, tile_d), lambda b, c, d: (b, 0, d)),  # gh0
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(u.shape, f32),
-            jax.ShapeDtypeStruct(u.shape, f32),
-            jax.ShapeDtypeStruct(B.shape, f32),
+            jax.ShapeDtypeStruct(u.shape, u.dtype),  # gu streams out native
+            jax.ShapeDtypeStruct(u.shape, dt.dtype),  # gdt
+            jax.ShapeDtypeStruct(B.shape, f32),  # gB/gC accumulate f32
             jax.ShapeDtypeStruct(C.shape, f32),
             jax.ShapeDtypeStruct((d_state, Dp), f32),
             jax.ShapeDtypeStruct((1, Dp), f32),

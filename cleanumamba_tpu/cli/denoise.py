@@ -48,12 +48,24 @@ def main(argv=None):
     ap.add_argument("--sample-rate", type=int, default=16000)
     ap.add_argument("--pad-to-sec", type=float, default=None,
                     help="pad/crop to fixed length to avoid per-length recompiles")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 weights+activations (~1.3x faster offline; "
+                         "normalization/scan state stay fp32)")
     args = ap.parse_args(argv)
 
     cfg, params, meta = load_any_checkpoint(args.ckpt)
+    if args.bf16:
+        params = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.bfloat16)
+            if hasattr(v, "dtype") and v.dtype == jnp.float32 else v,
+            params,
+        )
     ds = NoisyOnlyDataset(args.input, args.sample_rate)
     os.makedirs(args.output, exist_ok=True)
-    fwd = jax.jit(lambda p, x: forward(p, x, cfg))
+    in_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    fwd = jax.jit(
+        lambda p, x: forward(p, x.astype(in_dtype), cfg).astype(jnp.float32)
+    )
 
     total_audio, total_time = 0.0, 0.0
     for i in range(len(ds)):

@@ -40,24 +40,33 @@ def _is_quantized(leaf) -> bool:
     return isinstance(leaf, dict) and _Q_TAG in leaf
 
 
+# Leaves never quantized regardless of size: exp()-transformed or
+# state-dynamics parameters where log-space rounding error amplifies.
+_SENSITIVE_KEYS = ("A_log", "A_real", "A_imag", "inv_dt", "dt_proj_b")
+
+
 def quantize_params(params, min_size: int = 4096):
-    """Quantize every float leaf with ndim >= 2 and size >= min_size.
+    """Quantize every float leaf with ndim >= 2 and size >= min_size, except
+    state-dynamics parameters (A_log etc. — their consumers exponentiate,
+    amplifying rounding error).
 
     Returns a pytree of the same structure where selected leaves became
     {int8_values, scale} dicts.  Use :func:`dequantize_params` inside the
     jitted consumer."""
 
-    def q(leaf):
+    def q(path, leaf):
+        names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
         if (
             hasattr(leaf, "dtype")
             and jnp.issubdtype(leaf.dtype, jnp.floating)
             and leaf.ndim >= 2
             and leaf.size >= min_size
+            and not names.intersection(_SENSITIVE_KEYS)
         ):
             return _quantize_leaf(jnp.asarray(leaf))
         return leaf
 
-    return jax.tree_util.tree_map(q, params)
+    return jax.tree_util.tree_map_with_path(q, params)
 
 
 def dequantize_params(params, dtype=jnp.bfloat16):

@@ -476,7 +476,8 @@ class Streamer:
     """
 
     def __init__(self, params, cfg: CleanUMambaConfig, batch: int = 1,
-                 dtype=jnp.float32, weights: str = "fp32"):
+                 dtype=jnp.float32, weights: str = "fp32",
+                 quant_min_size: int = 4096):
         """weights: "fp32" | "bf16" | "int8" — storage precision of the
         weight tensors the per-frame step streams from HBM.  Single-frame
         latency is weight-bandwidth-bound, so this is the latency lever:
@@ -486,7 +487,7 @@ class Streamer:
         if weights == "int8":
             from cleanumamba_tpu.quant import dequantize_params, quantize_params
 
-            self.params = quantize_params(params)
+            self.params = quantize_params(params, min_size=quant_min_size)
             view = lambda p: dequantize_params(p, dtype)  # noqa: E731
         elif weights == "bf16":
             self.params = jax.tree_util.tree_map(

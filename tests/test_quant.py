@@ -38,6 +38,17 @@ def test_quantize_roundtrip_error_bounded():
     assert jax.tree_util.tree_structure(dq) == jax.tree_util.tree_structure(params)
 
 
+def test_sensitive_leaves_never_quantized():
+    """A_log and friends stay fp32 at any size: their consumers
+    exponentiate, so int8 log-space rounding error would amplify."""
+    cfg = CleanUMambaConfig(**TINY)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_params(params, min_size=1)
+    for lp in qp["bottleneck"]["layers"]:
+        a = lp["mixer"]["A_log"]
+        assert hasattr(a, "dtype") and a.dtype == jnp.float32
+
+
 def test_small_leaves_left_dense():
     cfg = CleanUMambaConfig(**TINY)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -55,7 +66,24 @@ def test_int8_streamer_tracks_fp32():
     audio = (rng.normal(size=(1, 4096)) * 0.2).astype(np.float32)
 
     s32 = Streamer(params, cfg)
-    s8 = Streamer(params, cfg, weights="int8")
+    # min_size=64 so the tiny model's weights actually quantize
+    s8 = Streamer(params, cfg, weights="int8", quant_min_size=64)
+    from cleanumamba_tpu.quant import _Q_TAG
+
+    def count_q(t):
+        n = 0
+        def rec(x):
+            nonlocal n
+            if isinstance(x, dict):
+                if _Q_TAG in x:
+                    n += 1
+                else:
+                    for v in x.values(): rec(v)
+            elif isinstance(x, (list, tuple)):
+                for v in x: rec(v)
+        rec(t)
+        return n
+    assert count_q(s8.params) >= 10, "tiny model did not actually quantize"
     y32 = np.concatenate([s32.feed(audio), s32.flush()], axis=1)
     y8 = np.concatenate([s8.feed(audio), s8.flush()], axis=1)
     assert y32.shape == y8.shape

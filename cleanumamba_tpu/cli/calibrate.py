@@ -56,7 +56,7 @@ def main(argv=None):
 
     def sample_loss(p, clean, noisy):
         y = forward(p, noisy, cfg)
-        return loss_fn(clean, y, loss_cfg)[0]
+        return loss_fn(y, clean, loss_cfg)[0]
 
     def loss_sampler(p):
         return float(np.mean([

@@ -18,6 +18,7 @@ def main(argv=None):
     ap.add_argument("--data-root", default=None,
                     help="DNS-style root (datasets/test_set/synthetic/no_reverb)")
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--dataset", default="dns", choices=["dns", "VCTK-DEMAND"])
     ap.add_argument("--max-items", type=int, default=None)
     ap.add_argument("--pad-to-sec", type=float, default=10.0)
     ap.add_argument("--json", action="store_true", help="print one JSON line")
@@ -27,7 +28,8 @@ def main(argv=None):
     if args.synthetic or not args.data_root:
         ds = SyntheticDenoiseDataset(n_items=args.max_items or 16, seed=4242)
     else:
-        ds = CleanNoisyPairDataset(args.data_root, "testing")
+        ds = CleanNoisyPairDataset(args.data_root, "testing",
+                                   dataset=args.dataset)
     metrics = validate(
         params, cfg, ds, max_items=args.max_items,
         pad_to=int(args.pad_to_sec * 16000), verbose=not args.json,

@@ -29,6 +29,7 @@ def main(argv=None):
     ap.add_argument("--ckpt", required=True, help="(pruned) checkpoint to finetune")
     ap.add_argument("-c", "--config", default=None, help="global config JSON")
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--dataset", default="dns", choices=["dns", "VCTK-DEMAND"])
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--iters", type=int, default=10_000)
     ap.add_argument("--lr", type=float, default=1e-4)
@@ -52,8 +53,10 @@ def main(argv=None):
         ds = SyntheticDenoiseDataset(crop_length_sec=args.crop_sec)
         val_ds = SyntheticDenoiseDataset(n_items=8, crop_length_sec=args.crop_sec, seed=99)
     else:
-        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec)
-        val_ds = CleanNoisyPairDataset(args.data_root, "testing")
+        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec,
+                                   dataset=args.dataset)
+        val_ds = CleanNoisyPairDataset(args.data_root, "testing",
+                                       dataset=args.dataset)
     loader = make_loader(ds, args.batch_size)
 
     import os

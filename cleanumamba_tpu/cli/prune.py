@@ -29,6 +29,7 @@ def main(argv=None):
     ap.add_argument("-t", "--teacher", required=True, help="checkpoint to prune")
     ap.add_argument("-e", "--exp", required=True, help="pruning experiment JSON")
     ap.add_argument("--data-root", default=None)
+    ap.add_argument("--dataset", default="dns", choices=["dns", "VCTK-DEMAND"])
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--crop-sec", type=float, default=10.0)
@@ -42,14 +43,12 @@ def main(argv=None):
     known = {f.name for f in PruningConfig.__dataclass_fields__.values()}
     pcfg = PruningConfig(**{k: v for k, v in pc_raw.items() if k in known})
 
-    cfg, params, meta = load_any_checkpoint(args.teacher)
-    print(f"teacher: {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
-
     exp_dir = os.path.join(args.out, raw.get("exp_path", "pruning"))
     ckpt_dir = os.path.join(exp_dir, "checkpoint")
 
     # resume: pick up the latest pruning checkpoint (same run_id so the
-    # metrics JSONL keeps appending to one trajectory)
+    # metrics JSONL keeps appending to one trajectory); the teacher pickle
+    # is only loaded/converted when starting fresh
     start_iter = 0
     opt_state = None
     ck = load_latest(ckpt_dir)
@@ -64,6 +63,9 @@ def main(argv=None):
         run_id = ck.get("run_id")
         print(f"resumed pruning from iter {ck['iter']} "
               f"({count_params(params)/1e6:.3f}M params)")
+    else:
+        cfg, params, meta = load_any_checkpoint(args.teacher)
+        print(f"teacher: {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
 
     sink = MetricsLogger.for_run(exp_dir, run_id=run_id, config=pc_raw)
     run_id = sink.run_id
@@ -72,8 +74,10 @@ def main(argv=None):
         ds = SyntheticDenoiseDataset(crop_length_sec=args.crop_sec)
         val_ds = SyntheticDenoiseDataset(n_items=8, crop_length_sec=args.crop_sec, seed=77)
     else:
-        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec)
-        val_ds = CleanNoisyPairDataset(args.data_root, "testing")
+        ds = CleanNoisyPairDataset(args.data_root, "training", args.crop_sec,
+                                   dataset=args.dataset)
+        val_ds = CleanNoisyPairDataset(args.data_root, "testing",
+                                       dataset=args.dataset)
 
     loader = make_loader(ds, args.batch_size)
 

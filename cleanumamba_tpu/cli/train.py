@@ -111,9 +111,10 @@ def main(argv=None):
                                          sample_rate=tc.sample_rate, seed=1234)
     else:
         ds = CleanNoisyPairDataset(tc.data_root, "training", tc.crop_length_sec,
-                                   tc.sample_rate)
+                                   tc.sample_rate, dataset=tc.dataset)
         val_ds = CleanNoisyPairDataset(tc.data_root, "testing",
-                                       sample_rate=tc.sample_rate)
+                                       sample_rate=tc.sample_rate,
+                                       dataset=tc.dataset)
     loader = make_training_loader(ds, per_step_batch * accum)
 
     n_iter = start_iter

@@ -237,6 +237,9 @@ class TrainConfig:
     data_root: str = ""
     crop_length_sec: float = 10.0
     sample_rate: int = 16000
+    # "dns" | "VCTK-DEMAND" (reference trainset_config "dataset",
+    # dataset.py:51-54)
+    dataset: str = "dns"
 
 
 def load_experiment_config(exp_json_path: str) -> "tuple[str, CleanUMambaConfig, dict]":
@@ -298,4 +301,5 @@ def load_train_config(config_json_path: str) -> TrainConfig:
         data_root=ts.get("root", ""),
         crop_length_sec=ts.get("crop_length_sec", 10.0),
         sample_rate=ts.get("sample_rate", 16000),
+        dataset=ts.get("dataset", "dns"),
     )

@@ -199,8 +199,6 @@ def export_reference_state_dict(params, cfg: CleanUMambaConfig):
             sd[f"{p}.mixer.D"] = t(m["D"])
             sd[f"{p}.mixer.norm.weight"] = t(m["norm_w"])
         elif cfg.bottleneck == "mamba_s4":
-            import torch
-
             sd[f"{p}.mixer.ssm.input_linear.weight"] = t(m["input_linear_w"]).T.contiguous()
             sd[f"{p}.mixer.ssm.input_linear.bias"] = t(m["input_linear_b"])
             k = m["kernel"]

@@ -497,9 +497,11 @@ class Streamer:
                 params,
             )
             view = lambda p: p  # noqa: E731
-        else:
+        elif weights == "fp32":
             self.params = params
             view = lambda p: p  # noqa: E731
+        else:
+            raise ValueError(f"weights={weights!r}: expected fp32|bf16|int8")
         self.cfg = cfg
         self.dtype = dtype
         self.batch = batch

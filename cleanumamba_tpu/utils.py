@@ -85,7 +85,8 @@ class MetricsLogger:
             # resumed runs keep accumulating _runtime from the prior record
             prior = read_history(path, run_id=self.run_id) if os.path.exists(path) else []
             if prior:
-                self._t0 -= float(prior[-1].get("_runtime", 0.0))
+                # max over records: dedupe-sort may not put the newest last
+                self._t0 -= max(float(r.get("_runtime", 0.0)) for r in prior)
             self._fh = open(path, "a")
             if config is not None and not prior:
                 self._write({"_kind": "config", **_jsonable(config)})
@@ -167,8 +168,8 @@ def read_history(path: str, run_id: Optional[str] = None,
                 last[(rec.get("_kind"), rec["_step"])] = i
         keep = set(last.values())
         rows = [r for i, r in enumerate(rows) if "_step" not in r or i in keep]
-        rows.sort(key=lambda r: (r.get("_step", -1) if "_step" in r else -1,
-                                 r.get("_timestamp", 0.0)))
+        rows.sort(key=lambda r: (r.get("_timestamp", 0.0),
+                                 r.get("_step", -1) if "_step" in r else -1))
     return rows
 
 

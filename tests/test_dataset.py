@@ -91,3 +91,20 @@ def test_crop_repeat_pads_short_clips():
     np.testing.assert_array_equal(c[:100], clean)
     np.testing.assert_array_equal(c[100:200], clean)
     np.testing.assert_array_equal(c[200:], clean[:50])
+
+
+def test_train_config_parses_dataset_variant(tmp_path):
+    """trainset_config "dataset" reaches TrainConfig (reference config key
+    that selects the VCTK-DEMAND layout, dataset.py:51-54)."""
+    import json
+
+    from cleanumamba_tpu.config import load_train_config
+
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps({
+        "train_config": {},
+        "trainset_config": {"root": "/x", "dataset": "VCTK-DEMAND"},
+    }))
+    tc = load_train_config(str(cfg_path))
+    assert tc.dataset == "VCTK-DEMAND"
+    assert load_train_config.__module__  # sanity

@@ -30,6 +30,8 @@ def test_export_roundtrip(bottleneck, tmp_path):
         params = prepare_for_length(params, cfg, 2000)
     sd = export_reference_state_dict(params, cfg)
     params2 = convert_state_dict(sd, cfg)
+    # identical structure first: zip() would silently truncate a lossy export
+    assert jax.tree_util.tree_structure(params2) == jax.tree_util.tree_structure(params)
     for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
 

@@ -212,7 +212,7 @@ def test_importance_loss_experiment_and_scatter(setup, tmp_path):
         fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,)))
 
     def loss_sampler(p):
-        return float(_loss_fn(clean, _fwd(p, noisy, cfg), lc)[0])
+        return float(_loss_fn(_fwd(p, noisy, cfg), clean, lc)[0])
 
     groups = [g for g in build_groups(params, cfg)][:3]
     sink = MetricsLogger.for_run(str(tmp_path))

@@ -91,12 +91,13 @@ def main(argv=None):
 
     if n_devices > 1:
         step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
-                                  axis_name="data")
+                                  axis_name="data", remat=opt.remat)
         mesh = make_mesh()
         step_fn = shard_train_step(step_fn, mesh)
         ctx = mesh
     else:
-        step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16)
+        step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
+                                  remat=opt.remat)
         step_fn = jax.jit(step_fn, donate_argnums=(0, 1))
         import contextlib
 

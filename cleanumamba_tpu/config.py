@@ -212,6 +212,12 @@ class OptimizationConfig:
     # bf16 compute on TPU replaces the reference's AMP+GradScaler
     # (train.py:156-160); bf16 needs no loss scaling.
     bf16: bool = True
+    # jax.checkpoint the model forward inside the grad: the backward
+    # recomputes activations instead of storing them — ~1.3x compute for an
+    # O(depth) -> O(1) activation-memory cut, the TPU lever for very long
+    # crops / large batch (no reference equivalent; torch checkpointing
+    # unused there)
+    remat: bool = False
 
     @property
     def grad_accum_steps(self) -> int:
@@ -282,6 +288,7 @@ def load_train_config(config_json_path: str) -> TrainConfig:
             clip_grad_norm_max=opt.get("clip_grad_norm_max", 10.0),
             weight_decay=opt.get("weight_decay", 0.0),
             bf16=bool(opt.get("autocast", True)),
+            remat=bool(opt.get("remat", False)),
         ),
         loss=LossConfig(
             cross_entropy=loss.get("cross_entropy", 0),

@@ -69,6 +69,7 @@ def make_train_step(
     scan_chunk: int = 32,
     skip_nonfinite_updates: bool = False,
     axis_name: Optional[str] = None,
+    remat: bool = False,
 ) -> Callable:
     """Returns train_step(params, opt_state, batch) -> (params, opt_state, aux).
 
@@ -98,7 +99,13 @@ def make_train_step(
                 params,
             )
             noisy = noisy.astype(jnp.bfloat16)
-        denoised = forward(p, noisy, model_cfg, chunk=scan_chunk)
+        if remat:
+            fwd = jax.checkpoint(
+                lambda pp, nn: forward(pp, nn, model_cfg, chunk=scan_chunk)
+            )
+        else:
+            fwd = lambda pp, nn: forward(pp, nn, model_cfg, chunk=scan_chunk)  # noqa: E731
+        denoised = fwd(p, noisy)
         loss, aux = loss_fn(denoised.astype(jnp.float32), clean.astype(jnp.float32), loss_cfg)
         return loss, aux
 

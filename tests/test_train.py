@@ -190,3 +190,45 @@ def test_synthetic_dataset_loader():
     it = make_loader(ds, batch_size=4, prefetch=1)
     cb, nb = next(it)
     assert cb.shape == (4, 8000)
+
+
+def test_remat_step_matches_plain():
+    """remat=True (jax.checkpoint over the model forward) computes the same
+    loss and (to float tolerance) the same gradients — it only trades
+    recompute for activation memory — and the full remat step trains."""
+    cfg = CleanUMambaConfig(**TINY)
+    loss_cfg = LossConfig(
+        stft_config=STFTLossConfig(fft_sizes=(256,), hop_sizes=(64,), win_lengths=(128,))
+    )
+    opt_cfg = OptimizationConfig(n_iters=1000)
+    optimizer = make_optimizer(opt_cfg, schedule=lambda s: 1e-3)
+    rng = np.random.default_rng(3)
+    clean = jnp.asarray(rng.normal(size=(1, 2, 2048)).astype(np.float32) * 0.3)
+    noisy = clean + 0.1 * jnp.asarray(rng.normal(size=(1, 2, 2048)).astype(np.float32))
+    from cleanumamba_tpu.losses import loss_fn as _loss_fn
+    from cleanumamba_tpu.models.cleanumamba import forward as _fwd
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    def loss_plain(p):
+        return _loss_fn(_fwd(p, noisy[0], cfg), clean[0], loss_cfg)[0]
+
+    def loss_remat(p):
+        y = jax.checkpoint(lambda pp: _fwd(pp, noisy[0], cfg))(p)
+        return _loss_fn(y, clean[0], loss_cfg)[0]
+
+    (l0, g0) = jax.jit(jax.value_and_grad(loss_plain))(params)
+    (l1, g1) = jax.jit(jax.value_and_grad(loss_remat))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    # the full remat step runs and trains
+    opt_state = optimizer.init(params)
+    step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=False,
+                                   remat=True))
+    losses = []
+    for _ in range(25):
+        params, opt_state, aux = step(params, opt_state, (clean, noisy))
+        losses.append(float(aux["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]

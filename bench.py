@@ -72,7 +72,7 @@ def main():
     # relay memoises repeated identical executions and full-output transfers
     # through the tunnel dominate naive timings
     float(run(params, state, blocks, 1.0))
-    reps = 3
+    reps = 5
     dts = []
     for i in range(reps):
         t0 = time.perf_counter()

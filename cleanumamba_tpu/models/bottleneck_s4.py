@@ -109,8 +109,16 @@ def _kernel_views(kp):
     return dt, A, B, C, P
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
 def s4_dplr_kernel(kp, L: int):
     """Length-L convolution kernel K (C, H, L) real.
+
+    Jitted with static L (a no-op when already under an outer jit): the
+    axon TPU relay has no EAGER kernels for complex primitives, so the
+    frequency-domain math must always run compiled.
 
     Parity with SSMKernelDPLR.forward (S4_fuctions.py:1313-1415), rank-1
     Woodbury path, naive Cauchy (conjugate-pair extended)."""
@@ -172,8 +180,10 @@ def _log_vandermonde(v, x, L):
     return 2.0 * jnp.einsum("chn,hnl->chl", v, vm).real
 
 
+@functools.partial(jax.jit, static_argnames=("L", "disc"))
 def s4_diag_kernel(kp, L: int, disc: str = "zoh"):
-    """Length-L S4D convolution kernel K (C, H, L) real.
+    """Length-L S4D convolution kernel K (C, H, L) real.  Jitted with
+    static (L, disc) — see s4_dplr_kernel on eager complex ops.
 
     Parity with SSMKernelDiag.forward (S4_fuctions.py:1119-1151) for
     disc in {'zoh', 'bilinear', 'dss'}."""

@@ -35,15 +35,10 @@ except ImportError:  # pragma: no cover
     _HAS_PLTPU = False
 
 
-def _pair_scan(a, b, reverse: bool = False):
-    """Vectorized Hillis-Steele inclusive scan of the linear-recurrence
-    semigroup ``(a, b) -> (a_r*a_l, a_r*b_l + b_r)`` along axis 0.
-
-    All work is full-tensor VPU ops on VMEM values — log2(T) passes instead
-    of a T-step sequential ``fori_loop`` (which pays per-step dynamic-slice
-    and control overhead; measured 20x off bandwidth-bound on v5e).
-    ``reverse=True`` scans right-to-left (the adjoint recurrence).
-    """
+def _pair_scan_hs(a, b, reverse: bool = False):
+    """Hillis-Steele inclusive scan of the linear-recurrence semigroup
+    ``(a, b) -> (a_r*a_l, a_r*b_l + b_r)`` along axis 0 — O(T log T) work;
+    kept as the any-length fallback."""
     T = a.shape[0]
     d = 1
     while d < T:
@@ -57,6 +52,65 @@ def _pair_scan(a, b, reverse: bool = False):
         a = a * ta
         d *= 2
     return a, b
+
+
+def _pair_scan(a, b, reverse: bool = False):
+    """Vectorized inclusive scan of the linear-recurrence semigroup along
+    axis 0; ``reverse=True`` computes the suffix scan (adjoint recurrence).
+
+    All work is full-tensor VPU ops on VMEM values — no per-timestep
+    ``fori_loop`` (which pays per-step dynamic-slice and control overhead;
+    measured 20x off bandwidth-bound on v5e).  Power-of-two lengths use a
+    work-efficient even/odd recursion (~2T combines instead of Hillis-
+    Steele's T·log2(T)): scan the pairwise-combined half-length sequence,
+    which directly yields the odd-position prefixes; even positions are one
+    more combine with the shifted odd prefixes.
+
+    The suffix scan runs the mirrored recursion directly (``jnp.flip``
+    lowers to the `rev` primitive, which Mosaic does not implement).
+    Semigroup segment values: forward [t..u] composes as
+    (P1·P2, P2·Q1 + Q2); reverse composes as (P1·P2, Q1 + P1·Q2).
+    """
+    T = a.shape[0]
+    if T == 1:
+        return a, b
+    if T % 2:
+        return _pair_scan_hs(a, b, reverse=reverse)
+    a2 = a.reshape(T // 2, 2, *a.shape[1:])
+    b2 = b.reshape(T // 2, 2, *b.shape[1:])
+    ae, be = a2[:, 0], b2[:, 0]
+    ao, bo = a2[:, 1], b2[:, 1]
+    # T == 2 guards: a zero-length As[:-1]/As[1:] slice is not a valid
+    # Mosaic vector type.
+    if reverse:
+        # pair segment (even then odd) under reverse composition; the
+        # half-scan gives suffixes at EVEN positions, odds are one more
+        # combine with the NEXT even suffix (identity at the end)
+        As, Bs = _pair_scan(ae * ao, be + ae * bo, reverse=True)
+        if T == 2:
+            Ash, Bsh = jnp.ones_like(As), jnp.zeros_like(Bs)
+        else:
+            Ash = jnp.concatenate([As[1:], jnp.ones_like(As[:1])], axis=0)
+            Bsh = jnp.concatenate([Bs[1:], jnp.zeros_like(Bs[:1])], axis=0)
+        aod = ao * Ash
+        bod = bo + ao * Bsh
+        a_out = jnp.stack([As, aod], axis=1).reshape(T, *a.shape[1:])
+        b_out = jnp.stack([Bs, bod], axis=1).reshape(T, *b.shape[1:])
+        return a_out, b_out
+    # forward: combine each (even, odd) pair -> half-length sequence; odd
+    # outputs are the half-scan directly, evens combine the PREVIOUS odd
+    # prefix (identity at the front) with the even element
+    As, Bs = _pair_scan(ae * ao, ao * be + bo)
+    if T == 2:
+        Ash, Bsh = jnp.ones_like(As), jnp.zeros_like(Bs)
+    else:
+        Ash = jnp.concatenate([jnp.ones_like(As[:1]), As[:-1]], axis=0)
+        Bsh = jnp.concatenate([jnp.zeros_like(Bs[:1]), Bs[:-1]], axis=0)
+    aev = Ash * ae
+    bev = ae * Bsh + be
+    a_out = jnp.stack([aev, As], axis=1).reshape(T, *a.shape[1:])
+    b_out = jnp.stack([bev, Bs], axis=1).reshape(T, *b.shape[1:])
+    return a_out, b_out
 
 
 def _scan_kernel(u_ref, dt_ref, A_ref, B_ref, C_ref, D_ref, h0_ref,

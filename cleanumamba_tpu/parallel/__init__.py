@@ -3,9 +3,11 @@
 Replaces the reference's hand-rolled NCCL DDP (rank-0 param broadcast +
 bucketed grad allreduce via autograd hooks + one subprocess per GPU,
 /root/reference/src/training/train_distributed.py:44-181) with single-program
-``jax.jit`` over a ``jax.sharding.Mesh``: the batch is sharded over the
-``data`` axis, params are replicated, and XLA inserts the gradient psum over
-ICI automatically.
+``shard_map`` over a ``jax.sharding.Mesh``: the batch is sharded over the
+``data`` axis, params are replicated, and the gradient pmean rides ICI.
+``sequence.py`` additionally shards the TIME axis of one long waveform
+across the mesh (exact sequence parallelism via halo ppermute + SSM segment
+composition).
 """
 
 from cleanumamba_tpu.parallel.mesh import (
@@ -13,5 +15,7 @@ from cleanumamba_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from cleanumamba_tpu.parallel.sequence import sp_stream_denoise
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "sp_stream_denoise"]

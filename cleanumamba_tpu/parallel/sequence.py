@@ -1,0 +1,268 @@
+"""Exact sequence parallelism: one long waveform denoised across a mesh.
+
+No reference equivalent (the reference handles long audio by streaming on a
+single device); this is a TPU-native scaling feature: the TIME axis of one
+utterance is sharded over the mesh's devices, and the result is EXACTLY the
+single-device streaming output (zero-primed; see below), to float tolerance.
+
+How each piece of sequential state crosses the segment boundary:
+
+- **Raw context** (encoder receptive field + bottleneck-conv warmup): a
+  single `ppermute` of the last ``frame_length + 2*total_stride`` raw
+  samples.  Everything the encoder needs is then LOCAL — convolutions have
+  finite lookback, so each device recomputes its boundary context from raw
+  samples instead of receiving activations.
+- **SSM state** (the only truly sequential recurrence): closed-form segment
+  composition.  Over a segment, ``prod_t exp(dt_t·A) = exp(A·Σdt)``, so each
+  device publishes its segment transition ``A_seg`` and zero-state response
+  ``h_loc`` (one tiny all_gather of (B, d_inner, d_state) pairs per layer);
+  every device folds the prefix to get its incoming state ``h0`` and adds
+  the h0-response ``y_corr_t = Σ_s C_ts · exp(A·cumsum(dt)_t) ⊙ h0`` to its
+  local scan output.  Layers are corrected in order (layer l+1 consumes
+  layer l's corrected stream), so a 3-layer bottleneck costs 3 all_gathers
+  plus one 3-token `ppermute` per layer for the conv-warmup context.
+- **Decoder overlap-add tails**: absorbed, not communicated.  Each device
+  decodes its 3 warmup tokens too and drops the first ``3*total_stride``
+  output samples; a missing boundary tail only corrupts the first
+  ``Σ_k S^k < 2·total_stride`` samples of a block's decode, which lie
+  entirely inside the dropped region.
+
+Semantics: the output equals streaming [zeros(ctx) | x] through
+stream_prime/stream_step_block on ONE device (``ctx = frame_length +
+2*total_stride`` — the stream is "zero-primed": it warms up on silence
+instead of seeing future context), with outputs aligned back to x.
+Supported: bottleneck="mamba", normalize_input=False (the running-std EMA
+is a second scalar cross-device recurrence, not yet composed).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cleanumamba_tpu.config import CleanUMambaConfig
+from cleanumamba_tpu.models.cleanumamba import decoder_level, encoder_level
+from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
+from cleanumamba_tpu.ops.norms import layer_norm, rms_norm
+from cleanumamba_tpu.ops.scan import selective_scan
+
+_WARM = 3  # bottleneck conv warmup tokens carried across the boundary (d_conv - 1)
+
+
+def _pperm_right(x, axis_name, n_dev):
+    """Send to the right neighbor; device 0 receives zeros."""
+    return jax.lax.ppermute(x, axis_name, [(i, i + 1) for i in range(n_dev - 1)])
+
+
+def _h0_response(dt_mine, C_mine, A, h0, chunk: int = 32):
+    """y_corr[t] = Σ_s C[t,s] · exp(A[:,s]·cd_t) ⊙ h0[:,s]   (cd inclusive).
+
+    dt (B,T,d_inner) fp32, C (B,T,d_state), A (d_inner,d_state),
+    h0 (B,d_inner,d_state) -> (B,T,d_inner) fp32.  Chunked so the
+    (chunk, d_state, d_inner) exponential tensor stays small."""
+    Bz, T, d_inner = dt_mine.shape
+    cd = jnp.cumsum(dt_mine.astype(jnp.float32), axis=1)
+    n_chunks = -(-T // chunk)
+    pad = n_chunks * chunk - T
+    if pad:
+        cd = jnp.pad(cd, ((0, 0), (0, pad), (0, 0)))
+        C_mine = jnp.pad(C_mine, ((0, 0), (0, pad), (0, 0)))
+    At = A.astype(jnp.float32).T  # (d_state, d_inner)
+    h0_t = h0.astype(jnp.float32).swapaxes(-1, -2)  # (B, d_state, d_inner)
+
+    def chunks(x):
+        return x.reshape(Bz, n_chunks, chunk, -1).swapaxes(0, 1)
+
+    def body(_, inp):
+        cdc, Cc = inp  # (B, c, d_inner), (B, c, d_state)
+        e = jnp.exp(cdc[:, :, None, :] * At[None, None])  # (B,c,s,i)
+        y = jnp.einsum("bcsi,bcs->bci", e * h0_t[:, None],
+                       Cc.astype(jnp.float32))
+        return 0, y
+
+    _, ys = jax.lax.scan(body, 0, (chunks(cd), chunks(C_mine)))
+    return ys.swapaxes(0, 1).reshape(Bz, n_chunks * chunk, d_inner)[:, :T]
+
+
+def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
+    """One Mamba mixer over [warm | mine] tokens with cross-device h0.
+
+    hidden_ext: (B, WARM + N, d_model).  Returns (out_mine (B, N, d_model),
+    warm_out_local (B, WARM, d_model) — the k==0 warm outputs)."""
+    _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+    x = hidden_ext
+    xz = x @ p["in_proj"].astype(x.dtype)
+    xs_e, z_e = xz[..., :d_inner], xz[..., d_inner:]
+    # causal depthwise conv over the extended token sequence (zero left-pad:
+    # exactly the zero conv_state a fresh stream starts with)
+    conv_w = p["conv_w"].astype(xs_e.dtype)
+    K = conv_w.shape[0]
+    ctx = jnp.pad(xs_e, ((0, 0), (K - 1, 0), (0, 0)))
+    acc = jnp.zeros_like(xs_e)
+    for k in range(K):
+        acc = acc + ctx[:, k : k + xs_e.shape[1], :] * conv_w[k]
+    xs_e = jax.nn.silu(acc + p["conv_b"].astype(xs_e.dtype))
+    dbc = xs_e @ p["x_proj"].astype(xs_e.dtype)
+    dt_e = dbc[..., :dt_rank] @ p["dt_proj_w"].astype(x.dtype) + p["dt_proj_b"].astype(x.dtype)
+    dt_e = jax.nn.softplus(dt_e.astype(jnp.float32))
+    B_e = dbc[..., dt_rank : dt_rank + d_state]
+    C_e = dbc[..., dt_rank + d_state :]
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+
+    w = _WARM
+    xs_w, dt_w, B_w, C_w = xs_e[:, :w], dt_e[:, :w], B_e[:, :w], C_e[:, :w]
+    xs_m, dt_m, B_m, C_m = xs_e[:, w:], dt_e[:, w:], B_e[:, w:], C_e[:, w:]
+
+    # local zero-state scans: mine (for outputs + segment response) and the
+    # warm tokens (device 0's true incoming state; also its warm outputs)
+    y0, h_loc = selective_scan(xs_m, dt_m, A, B_m, C_m, p["D"], h0=None,
+                               chunk=chunk)
+    y_w, h_pre = selective_scan(xs_w, dt_w, A, B_w, C_w, p["D"], h0=None,
+                                chunk=w)
+
+    # segment composition: A_seg = exp(A ⊙ Σdt) (closed form).  Device 0's
+    # published segment includes its zero-region warm tokens (no one else
+    # scans them).
+    def seg_A(dt_part):
+        return jnp.exp(A[None] * jnp.sum(dt_part, axis=1)[..., None])
+
+    A_m, A_w = seg_A(dt_m), seg_A(dt_w)
+    is0 = (idx == 0)
+    pub_A = jnp.where(is0, A_w * A_m, A_m)
+    pub_h = jnp.where(is0, A_m * h_pre + h_loc, h_loc)
+
+    segs_A = jax.lax.all_gather(pub_A, axis_name)  # (n_dev, B, i, s)
+    segs_h = jax.lax.all_gather(pub_h, axis_name)
+    h0 = jnp.zeros_like(h_loc)
+    prefixes = []
+    for k in range(n_dev):
+        prefixes.append(h0)
+        h0 = segs_A[k] * h0 + segs_h[k]
+    h0_mine = jnp.take(jnp.stack(prefixes), idx, axis=0)
+    h0_mine = jnp.where(is0, h_pre, h0_mine)
+
+    y = y0.astype(jnp.float32) + _h0_response(dt_m, C_m, A, h0_mine, chunk)
+    y = y.astype(x.dtype) * jax.nn.silu(z_e[:, w:])
+    out_mine = y @ p["out_proj"].astype(y.dtype)
+    y_warm = y_w * jax.nn.silu(z_e[:, :w])
+    warm_out_local = y_warm @ p["out_proj"].astype(y_warm.dtype)
+    return out_mine, warm_out_local
+
+
+def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
+              dtype, chunk):
+    """Per-device program (inside shard_map).  x_local: (B, N*ts) raw."""
+    K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
+    ts, fl = cfg.total_stride, cfg.frame_length
+    N = x_local.shape[1] // ts
+    idx = jax.lax.axis_index(axis_name)
+    ctx_len = fl + (_WARM - 1) * ts
+
+    halo = _pperm_right(x_local[:, -ctx_len:], axis_name, n_dev)
+    window = jnp.concatenate([halo, x_local], axis=1)
+
+    # encoder over the whole window; level i yields the stream-equivalent
+    # [cache | new] buffer for a (N + WARM)-frame block
+    xx = window[..., None].astype(dtype)
+    skips = []
+    for i, ep in enumerate(params["encoder"]):
+        xx = encoder_level(ep, xx, cfg, i)
+        skips.append(xx)
+    tokens_ext = skips[-1]  # (B, N + WARM, C_last)
+    assert tokens_ext.shape[1] == N + _WARM, tokens_ext.shape
+
+    z_ext = tokens_ext @ params["tsfm_conv1"]["w"][0].astype(dtype) + \
+        params["tsfm_conv1"]["b"].astype(dtype)
+
+    # bottleneck: residual stream over [warm | mine]; warm context comes
+    # from the right-ppermuted corrected neighbor values each layer
+    # (device 0 keeps its locally-exact zero-region values)
+    bp = params["bottleneck"]
+    w = _WARM
+    hid_m, res_m = z_ext[:, w:], jnp.zeros(z_ext[:, w:].shape, jnp.float32)
+    hid_w, res_w = z_ext[:, :w], jnp.zeros(z_ext[:, :w].shape, jnp.float32)
+    eps = cfg.norm_epsilon
+    for lp in bp["layers"]:
+        res_ext = jnp.concatenate([res_w, res_m], axis=1) + \
+            jnp.concatenate([hid_w, hid_m], axis=1).astype(jnp.float32)
+        if cfg.rms_norm:
+            hidden_ext = rms_norm(res_ext, lp["norm"]["scale"], eps)
+        else:
+            hidden_ext = layer_norm(res_ext, lp["norm"]["scale"],
+                                    lp["norm"]["bias"], eps)
+        hidden_ext = hidden_ext.astype(dtype)
+        out_m, warm_local = _sp_mixer(lp["mixer"], hidden_ext, axis_name,
+                                      n_dev, idx, chunk)
+        res_m = res_ext[:, w:]
+        res_w_next = _pperm_right(res_m[:, -w:], axis_name, n_dev)
+        hid_w_next = _pperm_right(out_m[:, -w:], axis_name, n_dev)
+        is0 = (idx == 0)
+        res_w = jnp.where(is0, res_ext[:, :w], res_w_next)
+        hid_w = jnp.where(is0, warm_local, hid_w_next)
+        hid_m = out_m
+    res_ext = jnp.concatenate([res_w, res_m], axis=1) + \
+        jnp.concatenate([hid_w, hid_m], axis=1).astype(jnp.float32)
+    nf = bp["norm_f"]
+    if cfg.rms_norm:
+        tokens_out = rms_norm(res_ext, nf["scale"], eps)
+    else:
+        tokens_out = layer_norm(res_ext, nf["scale"], nf["bias"], eps)
+    tokens_out = tokens_out.astype(dtype)
+
+    # decoder over all N + WARM tokens; the dropped warm region absorbs the
+    # missing cross-boundary overlap-add tails (error region < 2*ts < w*ts)
+    xx = tokens_out @ params["tsfm_conv2"]["w"][0].astype(dtype) + \
+        params["tsfm_conv2"]["b"].astype(dtype)
+    rev_skips = skips[::-1]
+    for j, dp in enumerate(params["decoder"]):
+        xx = xx + rev_skips[j][:, : xx.shape[1], :]
+        xx = decoder_level(dp, xx, cfg, D - 1 - j, relu=False)
+        xx = xx[:, :-S, :]
+        if j != D - 1:
+            xx = jax.nn.relu(xx)
+    return xx[:, w * ts : (N + w) * ts, 0]
+
+
+def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
+                      axis_name: str = "data", dtype=jnp.float32,
+                      chunk: int = 32):
+    """Denoise (B, L) waveforms with the time axis sharded over ``mesh``.
+
+    Output matches single-device zero-primed streaming of the same signal
+    (see module docstring), aligned to x; the tail shorter than the model
+    lookahead is zero-padded internally exactly like ``Streamer.flush``.
+    """
+    if cfg.bottleneck != "mamba":
+        raise NotImplementedError("sequence parallelism: mamba bottleneck only")
+    if cfg.normalize_input:
+        raise NotImplementedError(
+            "sequence parallelism with normalize_input needs the std-EMA "
+            "cross-device composition; run with normalize_input=False"
+        )
+    ts, fl = cfg.total_stride, cfg.frame_length
+    n_dev = mesh.devices.size
+    B, L = x.shape
+    # right-pad so every output position of x is covered (lookahead fl - ts)
+    # and the padded length splits evenly into n_dev * k * ts
+    need = L + (fl - ts)
+    unit = n_dev * ts
+    total = -(-need // unit) * unit
+    if total // unit < 1 or (total // n_dev) // ts < _WARM:
+        raise ValueError("input too short for this mesh; need >= "
+                         f"{_WARM * unit} samples per device")
+    xp = jnp.pad(jnp.asarray(x, jnp.float32), ((0, 0), (0, total - L)))
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        lambda p, xl: _sp_shard(p, cfg, xl, axis_name, n_dev, dtype, chunk),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name)),
+        out_specs=P(None, axis_name),
+        check_rep=False,
+    )
+    y = fn(params, xp)  # positions [w*ts, w*ts + total) of the padded stream
+    # x's outputs sit fl - ts later than the block start (zero-prime offset)
+    return y[:, fl - ts : fl - ts + L]

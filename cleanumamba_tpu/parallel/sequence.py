@@ -27,12 +27,20 @@ How each piece of sequential state crosses the segment boundary:
   ``Σ_k S^k < 2·total_stride`` samples of a block's decode, which lie
   entirely inside the dropped region.
 
+- **Input normalization** (``normalize_input=True``, the released
+  checkpoints' default): the per-frame running-std EMA is a global scalar
+  recurrence — each device computes its own frames' stds locally (the halo
+  covers each frame's lookback window), ONE all_gather of (B, N) scalars
+  builds the identical global EMA table everywhere, level 0 is recomputed
+  frame-sliced under each frame's own EMA (2 extra history frames; device
+  0's stream-initial frame is rebuilt PRIME-style and where()-selected),
+  and outputs rescale per frame.
+
 Semantics: the output equals streaming [zeros(ctx) | x] through
 stream_prime/stream_step_block on ONE device (``ctx = frame_length +
 2*total_stride`` — the stream is "zero-primed": it warms up on silence
 instead of seeing future context), with outputs aligned back to x.
-Supported: bottleneck="mamba", normalize_input=False (the running-std EMA
-is a second scalar cross-device recurrence, not yet composed).
+Supported bottleneck: "mamba" (the flagship family).
 """
 
 from __future__ import annotations
@@ -151,6 +159,90 @@ def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
     return out_mine, warm_out_local
 
 
+def _level_lengths(cfg: CleanUMambaConfig):
+    lens = []
+    l = cfg.frame_length
+    for _ in range(cfg.encoder_n_layers):
+        l = (l - cfg.kernel_size) // cfg.stride + 1
+        lens.append(l)
+    return lens
+
+
+def _ema_table(window, cfg, axis_name, N, off):
+    """Global per-frame normalization EMA, identical on every device.
+
+    Each device computes the stds of ITS N frames (full fl windows — the
+    halo covers the lookback); the stream's 3 zero-region warm frames have
+    std exactly 1e-3 (std of zeros + the streaming floor).  One all_gather
+    of (B, N) scalars, then the sequential 1/n-weighted EMA fold
+    (streaming._ema_stds semantics with global frame indices)."""
+    ts, fl = cfg.total_stride, cfg.frame_length
+    # window leads the padded stream by `off` phantom samples;
+    # my mine frames are u = WARM..WARM+N-1 in window coords
+    starts = [(u * ts + off) for u in range(_WARM, _WARM + N)]
+    frames = jnp.stack([window[:, s : s + fl] for s in starts], axis=1)
+    stds = jnp.std(frames.astype(jnp.float32), axis=2) + 1e-3  # (B, N)
+    all_stds = jax.lax.all_gather(stds, axis_name)  # (n_dev, B, N)
+    B = stds.shape[0]
+    flat = jnp.moveaxis(all_stds, 1, 0).reshape(B, -1)  # (B, n_dev*N)
+    warm0 = jnp.full((B, _WARM), 1e-3, jnp.float32)
+    all_f = jnp.concatenate([warm0, flat], axis=1)  # (B, 3 + n*N) global stds
+    n = jnp.arange(all_f.shape[1], dtype=jnp.float32) + 1.0
+
+    def fold(e, inp):
+        s, nn = inp
+        e = s / nn + (1.0 - 1.0 / nn) * e
+        return e, e
+
+    _, ema = jax.lax.scan(fold, jnp.zeros((B,), jnp.float32),
+                          (jnp.moveaxis(all_f, 1, 0), n))
+    return jnp.moveaxis(ema, 0, 1)  # (B, 3 + n*N)
+
+
+def _level0_normalized(params, cfg, window, ema, idx, N, dtype, off):
+    """Level-0 buffer under per-frame input normalization, stream-exact.
+
+    Step-style: each frame contributes strides[0] outputs from its
+    end-aligned per_frame_len slice divided by ITS EMA
+    (stream_step_block's normalize branch).  The buffer for an (N+WARM)
+    block needs 2 extra history frames; device 0's history predates the
+    stream, where frame 0 was computed PRIME-style (the whole first frame
+    normalized by std_0) — both variants are built and where()-selected.
+    """
+    K, S = cfg.kernel_size, cfg.stride
+    ts, fl = cfg.total_stride, cfg.frame_length
+    s0 = S ** (cfg.encoder_n_layers - 1)
+    lens0 = (fl - K) // S + 1
+    pfl = K + S * (s0 - 1)  # per-frame slice length
+    B = window.shape[0]
+    n_fr = N + _WARM + 2  # history(2) + warm(3) + mine(N)
+    need = lens0 + (N + _WARM - 1) * s0
+
+    # EMAs for my n_fr frames: global indices idx*N - 2 + [0..n_fr); pad the
+    # table with 2 leading entries for device 0's phantom history (its
+    # history outputs are discarded by the prime-variant select)
+    table = jnp.concatenate([jnp.ones((B, 2), jnp.float32), ema], axis=1)
+    e_hist = jax.lax.dynamic_slice_in_dim(table, idx * N, n_fr, axis=1)
+
+    starts = [(u * ts + fl - pfl + off) for u in range(-2, N + _WARM)]
+    slices = jnp.stack([window[:, s : s + pfl] for s in starts], axis=1)
+    slices = (slices / e_hist[..., None]).astype(dtype)
+    out = encoder_level(params["encoder"][0],
+                        slices.reshape(B * n_fr, pfl, 1), cfg, 0)
+    step_buf = out.reshape(B, n_fr * s0, -1)[:, -need:]
+
+    # device 0: prime-style frame 0 (global frame 0 = the zero-region prime)
+    frame0 = window[:, off : off + fl] / ema[:, :1]
+    prime0 = encoder_level(params["encoder"][0],
+                           frame0[..., None].astype(dtype), cfg, 0)
+    steps0 = out.reshape(B, n_fr, s0, -1)[:, 3:]  # frames u=1..N+WARM-1
+    prime_buf = jnp.concatenate(
+        [prime0, steps0.reshape(B, (n_fr - 3) * s0, -1)], axis=1
+    )
+    assert prime_buf.shape[1] == need, (prime_buf.shape, need)
+    return jnp.where((idx == 0), prime_buf, step_buf)
+
+
 def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
               dtype, chunk):
     """Per-device program (inside shard_map).  x_local: (B, N*ts) raw."""
@@ -158,17 +250,33 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
     ts, fl = cfg.total_stride, cfg.frame_length
     N = x_local.shape[1] // ts
     idx = jax.lax.axis_index(axis_name)
-    ctx_len = fl + (_WARM - 1) * ts
+    # halo: encoder receptive field + bottleneck warmup, plus enough extra
+    # raw samples that the 2 history frames' normalized level-0 slices fit
+    s0 = S ** (D - 1)
+    pfl = K + S * (s0 - 1)
+    extra = max(0, 2 * ts + pfl - fl)
+    ctx_len = fl + (_WARM - 1) * ts + extra
 
     halo = _pperm_right(x_local[:, -ctx_len:], axis_name, n_dev)
     window = jnp.concatenate([halo, x_local], axis=1)
 
-    # encoder over the whole window; level i yields the stream-equivalent
-    # [cache | new] buffer for a (N + WARM)-frame block
-    xx = window[..., None].astype(dtype)
+    # encoder; level i yields the stream-equivalent [cache | new] buffer for
+    # a (N + WARM)-frame block (slice-from-end: the K-S extra raw context
+    # adds leading outputs)
+    lens = _level_lengths(cfg)
+    strides = [S ** (D - 1 - i) for i in range(D)]
     skips = []
-    for i, ep in enumerate(params["encoder"]):
-        xx = encoder_level(ep, xx, cfg, i)
+    if cfg.normalize_input:
+        ema = _ema_table(window, cfg, axis_name, N, extra)
+        xx = _level0_normalized(params, cfg, window, ema, idx, N, dtype, extra)
+        skips.append(xx)
+        start = 1
+    else:
+        xx = window[..., None].astype(dtype)
+        start = 0
+    for i, ep in list(enumerate(params["encoder"]))[start:]:
+        expected = lens[i] + (N + _WARM - 1) * strides[i]
+        xx = encoder_level(ep, xx, cfg, i)[:, -expected:]
         skips.append(xx)
     tokens_ext = skips[-1]  # (B, N + WARM, C_last)
     assert tokens_ext.shape[1] == N + _WARM, tokens_ext.shape
@@ -222,7 +330,12 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
         xx = xx[:, :-S, :]
         if j != D - 1:
             xx = jax.nn.relu(xx)
-    return xx[:, w * ts : (N + w) * ts, 0]
+    out = xx[:, w * ts : (N + w) * ts, 0]
+    if cfg.normalize_input:
+        e_mine = jax.lax.dynamic_slice_in_dim(ema, _WARM + idx * N, N, axis=1)
+        out = (out.reshape(out.shape[0], N, ts)
+               * e_mine[..., None].astype(out.dtype)).reshape(out.shape[0], N * ts)
+    return out
 
 
 def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
@@ -236,11 +349,6 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     """
     if cfg.bottleneck != "mamba":
         raise NotImplementedError("sequence parallelism: mamba bottleneck only")
-    if cfg.normalize_input:
-        raise NotImplementedError(
-            "sequence parallelism with normalize_input needs the std-EMA "
-            "cross-device composition; run with normalize_input=False"
-        )
     ts, fl = cfg.total_stride, cfg.frame_length
     n_dev = mesh.devices.size
     B, L = x.shape

@@ -41,11 +41,12 @@ def _reference_zero_primed(params, cfg, x, total):
     return out[:, ctx : ctx + L]
 
 
-@pytest.mark.parametrize("n_dev", [8, 4, 1])
-def test_sp_denoise_matches_streaming(n_dev):
+@pytest.mark.parametrize("n_dev,normalize", [(8, False), (4, False), (1, False),
+                                             (8, True), (4, True), (1, True)])
+def test_sp_denoise_matches_streaming(n_dev, normalize):
     assert jax.device_count() >= n_dev
     mesh = make_mesh(n_dev)
-    cfg = CleanUMambaConfig(**TINY)
+    cfg = CleanUMambaConfig(**{**TINY, "normalize_input": normalize})
     params = init_params(jax.random.PRNGKey(0), cfg)
     ts, fl = cfg.total_stride, cfg.frame_length
     rng = np.random.default_rng(0)
@@ -64,10 +65,6 @@ def test_sp_denoise_matches_streaming(n_dev):
 
 def test_sp_denoise_guards():
     mesh = make_mesh(1)
-    cfg = CleanUMambaConfig(**{**TINY, "normalize_input": True})
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    with pytest.raises(NotImplementedError):
-        sp_stream_denoise(params, cfg, jnp.zeros((1, 4096)), mesh)
     cfg2 = CleanUMambaConfig(**{**TINY, "bottleneck": "lstm"})
     params2 = init_params(jax.random.PRNGKey(1), cfg2)
     with pytest.raises(NotImplementedError):

@@ -55,6 +55,7 @@ from cleanumamba_tpu.models.cleanumamba import decoder_level, encoder_level
 from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
 from cleanumamba_tpu.ops.norms import layer_norm, rms_norm
 from cleanumamba_tpu.ops.scan import selective_scan
+from cleanumamba_tpu.streaming import _ema_stds, _level_lengths, _level_strides
 
 _WARM = 3  # bottleneck conv warmup tokens carried across the boundary (d_conv - 1)
 
@@ -159,15 +160,6 @@ def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
     return out_mine, warm_out_local
 
 
-def _level_lengths(cfg: CleanUMambaConfig):
-    lens = []
-    l = cfg.frame_length
-    for _ in range(cfg.encoder_n_layers):
-        l = (l - cfg.kernel_size) // cfg.stride + 1
-        lens.append(l)
-    return lens
-
-
 def _ema_table(window, cfg, axis_name, N, off):
     """Global per-frame normalization EMA, identical on every device.
 
@@ -179,24 +171,17 @@ def _ema_table(window, cfg, axis_name, N, off):
     ts, fl = cfg.total_stride, cfg.frame_length
     # window leads the padded stream by `off` phantom samples;
     # my mine frames are u = WARM..WARM+N-1 in window coords
-    starts = [(u * ts + off) for u in range(_WARM, _WARM + N)]
-    frames = jnp.stack([window[:, s : s + fl] for s in starts], axis=1)
-    stds = jnp.std(frames.astype(jnp.float32), axis=2) + 1e-3  # (B, N)
+    idx = (jnp.arange(N)[:, None] + _WARM) * ts + off + jnp.arange(fl)[None, :]
+    frames = window.astype(jnp.float32)[:, idx]  # (B, N, fl) one gather
+    stds = jnp.std(frames, axis=2) + 1e-3  # (B, N)
     all_stds = jax.lax.all_gather(stds, axis_name)  # (n_dev, B, N)
     B = stds.shape[0]
-    flat = jnp.moveaxis(all_stds, 1, 0).reshape(B, -1)  # (B, n_dev*N)
+    flat = jnp.moveaxis(all_stds, 0, 1).reshape(B, -1)  # (B, n_dev*N)
     warm0 = jnp.full((B, _WARM), 1e-3, jnp.float32)
     all_f = jnp.concatenate([warm0, flat], axis=1)  # (B, 3 + n*N) global stds
-    n = jnp.arange(all_f.shape[1], dtype=jnp.float32) + 1.0
-
-    def fold(e, inp):
-        s, nn = inp
-        e = s / nn + (1.0 - 1.0 / nn) * e
-        return e, e
-
-    _, ema = jax.lax.scan(fold, jnp.zeros((B,), jnp.float32),
-                          (jnp.moveaxis(all_f, 1, 0), n))
-    return jnp.moveaxis(ema, 0, 1)  # (B, 3 + n*N)
+    # streaming's per-frame EMA fold, seeded at the stream start
+    return _ema_stds(all_f[..., None], jnp.zeros((B, 1), jnp.float32),
+                     jnp.zeros((), jnp.int32))  # (B, 3 + n*N)
 
 
 def _level0_normalized(params, cfg, window, ema, idx, N, dtype, off):
@@ -224,8 +209,8 @@ def _level0_normalized(params, cfg, window, ema, idx, N, dtype, off):
     table = jnp.concatenate([jnp.ones((B, 2), jnp.float32), ema], axis=1)
     e_hist = jax.lax.dynamic_slice_in_dim(table, idx * N, n_fr, axis=1)
 
-    starts = [(u * ts + fl - pfl + off) for u in range(-2, N + _WARM)]
-    slices = jnp.stack([window[:, s : s + pfl] for s in starts], axis=1)
+    starts = (jnp.arange(-2, N + _WARM)[:, None] * ts + fl - pfl + off)
+    slices = window[:, starts + jnp.arange(pfl)[None, :]]  # one gather
     slices = (slices / e_hist[..., None]).astype(dtype)
     out = encoder_level(params["encoder"][0],
                         slices.reshape(B * n_fr, pfl, 1), cfg, 0)
@@ -264,7 +249,7 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
     # a (N + WARM)-frame block (slice-from-end: the K-S extra raw context
     # adds leading outputs)
     lens = _level_lengths(cfg)
-    strides = [S ** (D - 1 - i) for i in range(D)]
+    strides = _level_strides(cfg)
     skips = []
     if cfg.normalize_input:
         ema = _ema_table(window, cfg, axis_name, N, extra)
@@ -349,7 +334,15 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     """
     if cfg.bottleneck != "mamba":
         raise NotImplementedError("sequence parallelism: mamba bottleneck only")
+    for lp in params["bottleneck"]["layers"]:
+        d_conv = lp["mixer"]["conv_w"].shape[0]
+        if d_conv - 1 > _WARM:
+            raise NotImplementedError(
+                f"d_conv={d_conv} needs {d_conv - 1} warm tokens; "
+                f"sequence parallelism carries {_WARM}"
+            )
     ts, fl = cfg.total_stride, cfg.frame_length
+    K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
     n_dev = mesh.devices.size
     B, L = x.shape
     # right-pad so every output position of x is covered (lookahead fl - ts)
@@ -357,9 +350,15 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     need = L + (fl - ts)
     unit = n_dev * ts
     total = -(-need // unit) * unit
-    if total // unit < 1 or (total // n_dev) // ts < _WARM:
-        raise ValueError("input too short for this mesh; need >= "
-                         f"{_WARM * unit} samples per device")
+    # each device's segment must cover the halo it sends right
+    pfl = K + S * (S ** (D - 1) - 1)
+    ctx_len = fl + (_WARM - 1) * ts + max(0, 2 * ts + pfl - fl)
+    per_dev = total // n_dev
+    min_per_dev = max(-(-ctx_len // ts) * ts, _WARM * ts)
+    if per_dev < min_per_dev:
+        # short input: pad up so every device still covers the halo it
+        # sends right (the extra zero frames are sliced away below)
+        total = n_dev * min_per_dev
     xp = jnp.pad(jnp.asarray(x, jnp.float32), ((0, 0), (0, total - L)))
 
     from jax.experimental.shard_map import shard_map

@@ -69,3 +69,55 @@ def test_sp_denoise_guards():
     params2 = init_params(jax.random.PRNGKey(1), cfg2)
     with pytest.raises(NotImplementedError):
         sp_stream_denoise(params2, cfg2, jnp.zeros((1, 4096)), mesh)
+
+
+def _sp_total(cfg, L, n_dev):
+    """Mirror sp_stream_denoise's padding so the reference matches."""
+    K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
+    ts, fl = cfg.total_stride, cfg.frame_length
+    need = L + (fl - ts)
+    unit = n_dev * ts
+    total = -(-need // unit) * unit
+    pfl = K + S * (S ** (D - 1) - 1)
+    ctx_len = fl + (_WARM - 1) * ts + max(0, 2 * ts + pfl - fl)
+    min_per_dev = max(-(-ctx_len // ts) * ts, _WARM * ts)
+    if total // n_dev < min_per_dev:
+        total = n_dev * min_per_dev
+    return total
+
+
+def test_sp_short_input_pads_up():
+    """Inputs shorter than the per-device halo pad up instead of crashing
+    with opaque shape errors, and still match the reference."""
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    cfg = CleanUMambaConfig(**TINY)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ts = cfg.total_stride
+    rng = np.random.default_rng(1)
+    L = 2 * ts + 3  # far below the halo requirement
+    x = (rng.normal(size=(1, L)) * 0.3).astype(np.float32)
+    y_sp = np.asarray(sp_stream_denoise(params, cfg, jnp.asarray(x), mesh))
+    assert y_sp.shape == (1, L)
+    y_ref = _reference_zero_primed(params, cfg, x, _sp_total(cfg, L, n_dev))
+    np.testing.assert_allclose(y_sp, y_ref, atol=3e-4, rtol=2e-3)
+
+
+def test_sp_batch2_normalized():
+    """B=2 exercises the batch axis through the EMA all_gather reshape
+    (a transposed-axes bug there is invisible at B=1)."""
+    n_dev = 4
+    mesh = make_mesh(n_dev)
+    cfg = CleanUMambaConfig(**{**TINY, "normalize_input": True})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    ts = cfg.total_stride
+    rng = np.random.default_rng(2)
+    L = 41 * ts + 7
+    # distinct scales per batch item so EMA rows differ
+    x = np.stack([
+        rng.normal(size=L).astype(np.float32) * 0.3,
+        rng.normal(size=L).astype(np.float32) * 0.05,
+    ])
+    y_sp = np.asarray(sp_stream_denoise(params, cfg, jnp.asarray(x), mesh))
+    y_ref = _reference_zero_primed(params, cfg, x, _sp_total(cfg, L, n_dev))
+    np.testing.assert_allclose(y_sp, y_ref, atol=3e-4, rtol=2e-3)

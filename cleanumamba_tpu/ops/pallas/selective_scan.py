@@ -176,8 +176,10 @@ def pallas_selective_scan(u, dt, A, B, C, D=None, h0=None,
     (B, d_inner, d_state)).
 
     return_boundaries: additionally return the per-chunk incoming states
-    (n_chunks, B, d_state, d_inner) fp32, the residuals the chunked reverse
-    backward needs (ops.scan._ssg_bwd) — saves re-running the forward there.
+    (B, n_chunks, d_state, d_inner) fp32 — the residuals the Pallas backward
+    seeds its adjoint recurrence from (saves re-running the forward).
+    ``moveaxis(1, 0)`` recovers the (n_chunks, B, ...) layout the XLA
+    fallback backward (ops.scan._ssg_bwd) consumes.
 
     All compute fp32 (cast on entry).  L is padded to a chunk multiple with
     dt=0 identity steps; d_inner to a tile multiple with A=0 inert rows.
@@ -435,25 +437,26 @@ def pallas_selective_scan_bwd(u, dt, A, B, C, D, h_starts, gy, gh_last,
     return gu, gdt, gA, gB, gC, (None if D is None else gDv), gh0
 
 
-# One internal time-chunk size shared by the Pallas forward and the Pallas
-# backward, so the kernel's saved boundary states line up with what the
-# backward recomputes per chunk.
+# Default time-chunk size for the differentiable path (tuned on v5e).  The
+# same nondiff ``chunk`` flows to both the forward and the backward kernel,
+# so the forward's saved boundary states always line up with the backward's
+# per-chunk adjoint recurrence.
 _VJP_CHUNK = 32
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=128):
+def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK):
     """Differentiable wrapper: Pallas forward AND backward on TPU.  The
     backward runs the adjoint recurrence as a second Pallas kernel seeded by
     the forward's saved chunk-boundary states (no forward re-run, no AD
     through the associative scan)."""
-    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK)
+    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0, chunk=chunk)
     return y, h_last
 
 
 def _fwd(u, dt, A, B, C, D, h0, chunk):
     y, h_last, h_starts = pallas_selective_scan(
-        u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK, return_boundaries=True
+        u, dt, A, B, C, D, h0, chunk=chunk, return_boundaries=True
     )
     return (y, h_last), (u, dt, A, B, C, D, h0, h_starts)
 
@@ -462,7 +465,7 @@ def _bwd(chunk, res, cts):
     u, dt, A, B, C, D, h0, h_starts = res
     gy, gh_last = cts
     gu, gdt, gA, gB, gC, gD, gh0 = pallas_selective_scan_bwd(
-        u, dt, A, B, C, D, h_starts, gy, gh_last, chunk=_VJP_CHUNK
+        u, dt, A, B, C, D, h_starts, gy, gh_last, chunk=chunk
     )
     return (
         gu.astype(u.dtype), gdt.astype(dt.dtype), gA.astype(A.dtype),

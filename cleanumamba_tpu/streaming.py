@@ -490,12 +490,19 @@ class Streamer:
             self.params = quantize_params(params, min_size=quant_min_size)
             view = lambda p: dequantize_params(p, dtype)  # noqa: E731
         elif weights == "bf16":
-            self.params = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2
-                else x,
-                params,
-            )
+            # Same exclusion as the int8 path (quant._SENSITIVE_KEYS): leave
+            # state-dynamics params (A_log etc.) fp32 — their consumers
+            # exponentiate and amplify rounding error.
+            from cleanumamba_tpu.quant import _SENSITIVE_KEYS
+
+            def _cast(path, x):
+                names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+                if (hasattr(x, "dtype") and x.dtype == jnp.float32
+                        and x.ndim >= 2 and not names.intersection(_SENSITIVE_KEYS)):
+                    return x.astype(jnp.bfloat16)
+                return x
+
+            self.params = jax.tree_util.tree_map_with_path(_cast, params)
             view = lambda p: p  # noqa: E731
         elif weights == "fp32":
             self.params = params

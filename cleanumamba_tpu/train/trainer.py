@@ -116,14 +116,14 @@ def make_train_step(
 
         def micro(acc, xs):
             c, n = xs
-            (loss, aux), grads = grad_fn(params, c, n)
+            (_, aux), grads = grad_fn(params, c, n)  # loss rides in aux["loss"]
             acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            return acc, (loss, aux)
+            return acc, aux
 
         zero = jax.tree_util.tree_map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
-        grads, (losses, auxs) = jax.lax.scan(micro, zero, (clean, noisy))
+        grads, auxs = jax.lax.scan(micro, zero, (clean, noisy))
         n_micro = clean.shape[0]
         grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
         if axis_name is not None:

@@ -36,17 +36,21 @@ def _reference_zero_primed(params, cfg, x, total):
          np.zeros((B, total - L), np.float32)],
         axis=1,
     )
-    s = Streamer(params, cfg)
+    s = Streamer(params, cfg, batch=B)
     out = np.concatenate([s.feed(P), s.flush()], axis=1)
     return out[:, ctx : ctx + L]
 
 
-@pytest.mark.parametrize("n_dev,normalize", [(8, False), (4, False), (1, False),
-                                             (8, True), (4, True), (1, True)])
-def test_sp_denoise_matches_streaming(n_dev, normalize):
+@pytest.mark.parametrize("n_dev,normalize,bottleneck", [
+    (8, False, "mamba"), (4, False, "mamba"), (1, False, "mamba"),
+    (8, True, "mamba"), (4, True, "mamba"), (1, True, "mamba"),
+    (8, False, "mamba2"), (4, True, "mamba2"),
+])
+def test_sp_denoise_matches_streaming(n_dev, normalize, bottleneck):
     assert jax.device_count() >= n_dev
     mesh = make_mesh(n_dev)
-    cfg = CleanUMambaConfig(**{**TINY, "normalize_input": normalize})
+    cfg = CleanUMambaConfig(**{**TINY, "normalize_input": normalize,
+                               "bottleneck": bottleneck})
     params = init_params(jax.random.PRNGKey(0), cfg)
     ts, fl = cfg.total_stride, cfg.frame_length
     rng = np.random.default_rng(0)

@@ -40,7 +40,8 @@ Semantics: the output equals streaming [zeros(ctx) | x] through
 stream_prime/stream_step_block on ONE device (``ctx = frame_length +
 2*total_stride`` — the stream is "zero-primed": it warms up on silence
 instead of seeing future context), with outputs aligned back to x.
-Supported bottleneck: "mamba" (the flagship family).
+Supported bottlenecks: "mamba" and "mamba2" (the flagship family; mamba2's
+per-head scalar decay broadcasts into the same composition).
 """
 
 from __future__ import annotations
@@ -95,45 +96,42 @@ def _h0_response(dt_mine, C_mine, A, h0, chunk: int = 32):
     return ys.swapaxes(0, 1).reshape(Bz, n_chunks * chunk, d_inner)[:, :T]
 
 
-def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
-    """One Mamba mixer over [warm | mine] tokens with cross-device h0.
-
-    hidden_ext: (B, WARM + N, d_model).  Returns (out_mine (B, N, d_model),
-    warm_out_local (B, WARM, d_model) — the k==0 warm outputs)."""
-    _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
-    x = hidden_ext
-    xz = x @ p["in_proj"].astype(x.dtype)
-    xs_e, z_e = xz[..., :d_inner], xz[..., d_inner:]
-    # causal depthwise conv over the extended token sequence (zero left-pad:
-    # exactly the zero conv_state a fresh stream starts with)
-    conv_w = p["conv_w"].astype(xs_e.dtype)
+def _zero_padded_conv(xs_e, conv_w, conv_b):
+    """Causal depthwise conv over the extended token sequence (zero left-pad:
+    exactly the zero conv_state a fresh stream starts with)."""
     K = conv_w.shape[0]
     ctx = jnp.pad(xs_e, ((0, 0), (K - 1, 0), (0, 0)))
     acc = jnp.zeros_like(xs_e)
     for k in range(K):
-        acc = acc + ctx[:, k : k + xs_e.shape[1], :] * conv_w[k]
-    xs_e = jax.nn.silu(acc + p["conv_b"].astype(xs_e.dtype))
-    dbc = xs_e @ p["x_proj"].astype(xs_e.dtype)
-    dt_e = dbc[..., :dt_rank] @ p["dt_proj_w"].astype(x.dtype) + p["dt_proj_b"].astype(x.dtype)
-    dt_e = jax.nn.softplus(dt_e.astype(jnp.float32))
-    B_e = dbc[..., dt_rank : dt_rank + d_state]
-    C_e = dbc[..., dt_rank + d_state :]
-    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+        acc = acc + ctx[:, k : k + xs_e.shape[1], :] * conv_w[k].astype(xs_e.dtype)
+    return jax.nn.silu(acc + conv_b.astype(xs_e.dtype))
 
+
+def _sp_scan_core(xs_e, dt_e, B_e, C_e, A, D, axis_name, n_dev, idx, chunk):
+    """Cross-device selective scan over [warm | mine] tokens.
+
+    Shared by the mamba and mamba2 mixers (mamba2 enters here with its
+    per-head scalar decay broadcast to (d_inner, d_state) — the composition
+    below is decay-shape agnostic).  Returns (y_mine, y_warm) fp32 where
+    y_mine includes the cross-device h0 correction.
+
+    Segment composition: over a segment ``prod_t exp(dt_t*A) = exp(A*Σdt)``,
+    so each device publishes its segment transition A_seg and zero-state
+    response h_loc (one all_gather); every device folds the prefix to get
+    its incoming state h0 and adds the h0 response to its local output.
+    Device 0's published segment includes its zero-region warm tokens (no
+    one else scans them)."""
     w = _WARM
     xs_w, dt_w, B_w, C_w = xs_e[:, :w], dt_e[:, :w], B_e[:, :w], C_e[:, :w]
     xs_m, dt_m, B_m, C_m = xs_e[:, w:], dt_e[:, w:], B_e[:, w:], C_e[:, w:]
 
     # local zero-state scans: mine (for outputs + segment response) and the
     # warm tokens (device 0's true incoming state; also its warm outputs)
-    y0, h_loc = selective_scan(xs_m, dt_m, A, B_m, C_m, p["D"], h0=None,
+    y0, h_loc = selective_scan(xs_m, dt_m, A, B_m, C_m, D, h0=None,
                                chunk=chunk)
-    y_w, h_pre = selective_scan(xs_w, dt_w, A, B_w, C_w, p["D"], h0=None,
+    y_w, h_pre = selective_scan(xs_w, dt_w, A, B_w, C_w, D, h0=None,
                                 chunk=w)
 
-    # segment composition: A_seg = exp(A ⊙ Σdt) (closed form).  Device 0's
-    # published segment includes its zero-region warm tokens (no one else
-    # scans them).
     def seg_A(dt_part):
         return jnp.exp(A[None] * jnp.sum(dt_part, axis=1)[..., None])
 
@@ -153,9 +151,69 @@ def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
     h0_mine = jnp.where(is0, h_pre, h0_mine)
 
     y = y0.astype(jnp.float32) + _h0_response(dt_m, C_m, A, h0_mine, chunk)
+    return y, y_w.astype(jnp.float32)
+
+
+def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
+    """One Mamba mixer over [warm | mine] tokens with cross-device h0.
+
+    hidden_ext: (B, WARM + N, d_model).  Returns (out_mine (B, N, d_model),
+    warm_out_local (B, WARM, d_model) — the k==0 warm outputs)."""
+    _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+    x = hidden_ext
+    xz = x @ p["in_proj"].astype(x.dtype)
+    xs_e, z_e = xz[..., :d_inner], xz[..., d_inner:]
+    xs_e = _zero_padded_conv(xs_e, p["conv_w"], p["conv_b"])
+    dbc = xs_e @ p["x_proj"].astype(xs_e.dtype)
+    dt_e = dbc[..., :dt_rank] @ p["dt_proj_w"].astype(x.dtype) + p["dt_proj_b"].astype(x.dtype)
+    dt_e = jax.nn.softplus(dt_e.astype(jnp.float32))
+    B_e = dbc[..., dt_rank : dt_rank + d_state]
+    C_e = dbc[..., dt_rank + d_state :]
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+
+    w = _WARM
+    y, y_w = _sp_scan_core(xs_e, dt_e, B_e, C_e, A, p["D"],
+                           axis_name, n_dev, idx, chunk)
     y = y.astype(x.dtype) * jax.nn.silu(z_e[:, w:])
     out_mine = y @ p["out_proj"].astype(y.dtype)
-    y_warm = y_w * jax.nn.silu(z_e[:, :w])
+    y_warm = y_w.astype(x.dtype) * jax.nn.silu(z_e[:, :w])
+    warm_out_local = y_warm @ p["out_proj"].astype(y_warm.dtype)
+    return out_mine, warm_out_local
+
+
+def _sp_mixer2(p, hidden_ext, axis_name, n_dev, idx, chunk):
+    """Mamba2 (SSD) mixer over [warm | mine] tokens with cross-device h0.
+
+    The per-head scalar decay is broadcast to the (d_inner, d_state)
+    elementwise form (models/bottleneck_mamba2.py mixer_step does the same),
+    so the segment composition is byte-identical machinery to mamba1 —
+    ``exp(a_head*Σdt)`` composes the same closed form."""
+    from cleanumamba_tpu.models.bottleneck_mamba2 import (
+        _split_zxbcdt,
+        mixer_geometry,
+    )
+    from cleanumamba_tpu.ops.norms import gated_rms_norm
+
+    _, d_inner, d_state, n_heads, headdim = mixer_geometry(p)
+    x = hidden_ext
+    zxbcdt = x @ p["in_proj"].astype(x.dtype)
+    z_e, xBC, dt_h = _split_zxbcdt(p, zxbcdt)
+    xBC = _zero_padded_conv(xBC, p["conv_w"], p["conv_b"])
+    xs_e = xBC[..., :d_inner]
+    B_e = xBC[..., d_inner : d_inner + d_state]
+    C_e = xBC[..., d_inner + d_state :]
+    dt_h = jax.nn.softplus(dt_h.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    dt_e = jnp.repeat(dt_h, headdim, axis=-1)  # (B, T, d_inner)
+    A_head = -jnp.exp(p["A_log"].astype(jnp.float32))
+    A = jnp.repeat(A_head, headdim)[:, None] * jnp.ones((1, d_state), jnp.float32)
+    D = jnp.repeat(p["D"].astype(jnp.float32), headdim)
+
+    w = _WARM
+    y, y_w = _sp_scan_core(xs_e, dt_e, B_e, C_e, A, D,
+                           axis_name, n_dev, idx, chunk)
+    y = gated_rms_norm(y.astype(x.dtype), z_e[:, w:], p["norm_w"])
+    out_mine = y @ p["out_proj"].astype(y.dtype)
+    y_warm = gated_rms_norm(y_w.astype(x.dtype), z_e[:, :w], p["norm_w"])
     warm_out_local = y_warm @ p["out_proj"].astype(y_warm.dtype)
     return out_mine, warm_out_local
 
@@ -286,8 +344,9 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
             hidden_ext = layer_norm(res_ext, lp["norm"]["scale"],
                                     lp["norm"]["bias"], eps)
         hidden_ext = hidden_ext.astype(dtype)
-        out_m, warm_local = _sp_mixer(lp["mixer"], hidden_ext, axis_name,
-                                      n_dev, idx, chunk)
+        mixer_fn = _sp_mixer2 if cfg.bottleneck == "mamba2" else _sp_mixer
+        out_m, warm_local = mixer_fn(lp["mixer"], hidden_ext, axis_name,
+                                     n_dev, idx, chunk)
         res_m = res_ext[:, w:]
         res_w_next = _pperm_right(res_m[:, -w:], axis_name, n_dev)
         hid_w_next = _pperm_right(out_m[:, -w:], axis_name, n_dev)
@@ -332,8 +391,11 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     (see module docstring), aligned to x; the tail shorter than the model
     lookahead is zero-padded internally exactly like ``Streamer.flush``.
     """
-    if cfg.bottleneck != "mamba":
-        raise NotImplementedError("sequence parallelism: mamba bottleneck only")
+    if cfg.bottleneck not in ("mamba", "mamba2"):
+        raise NotImplementedError(
+            "sequence parallelism: mamba/mamba2 bottlenecks only (S4's DPLR "
+            "kernel and LSTM/MHA caches do not compose the exp(A*Σdt) "
+            "closed-form segment transition)")
     for lp in params["bottleneck"]["layers"]:
         d_conv = lp["mixer"]["conv_w"].shape[0]
         if d_conv - 1 > _WARM:

@@ -57,12 +57,15 @@ def mixer_forward(p, x, chunk: int = 32, use_ssd: bool = True):
     dt_h = jax.nn.softplus(dt_h.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
     A_head = -jnp.exp(p["A_log"].astype(jnp.float32))  # (n_heads,)
     if use_ssd:
-        # scalar-per-head decay -> masked-matmul SSD form (MXU)
-        from cleanumamba_tpu.ops.scan import ssd_scan
+        # scalar-per-head decay -> masked-matmul SSD form (MXU); custom VJP
+        # (the backward is the transposed masked matmul — AD through the
+        # chunked forward would save every (T, T, H) decay mask as residual)
+        from cleanumamba_tpu.ops.scan import ssd_scan_grad
 
         Bsz, T, _ = xs.shape
         xh = xs.reshape(Bsz, T, n_heads, headdim)
-        y, _ = ssd_scan(xh, dt_h, A_head, B, C, p["D"], chunk=min(chunk * 2, 64))
+        y, _ = ssd_scan_grad(xh, dt_h, A_head, B, C, p["D"], None,
+                             min(chunk * 2, 64))
         y = y.reshape(Bsz, T, d_inner)
     else:
         # exact-equivalent fallback: broadcast per-head params to the shared

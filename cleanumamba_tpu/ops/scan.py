@@ -337,6 +337,181 @@ def ssd_scan(x, dt, A_head, B, C, D_head=None, h0=None, chunk: int = 64):
     return y.astype(x.dtype), h_last
 
 
+def _ssd_chunk_parts(xc, dtc, Bc, Cc, Ah, chunk):
+    """Shared per-chunk quantities of the SSD forward/backward.
+
+    Returns (s, M, G, dx, decay_to_end) with
+      s: (B, T, H) in-chunk cumsum of dt*A_h,
+      M: (B, T, T, H) causal decay mask exp(s_t - s_tau),
+      G: (B, T, T) C B^T,
+      dx: (B, T, H, P) dt-scaled inputs,
+      decay_to_end: (B, T, H) exp(s_T - s_t)."""
+    s = jnp.cumsum(dtc * Ah, axis=1)
+    M = jnp.exp(s[:, :, None, :] - s[:, None, :, :])
+    causal = jnp.tril(jnp.ones((chunk, chunk), bool))
+    M = jnp.where(causal[None, :, :, None], M, 0.0)
+    G = jnp.einsum("btn,bsn->bts", Cc, Bc)
+    dx = dtc[..., None] * xc
+    decay_to_end = jnp.exp(s[:, -1:, :] - s)
+    return s, M, G, dx, decay_to_end
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def ssd_scan_grad(x, dt, A_head, B, C, D_head, h0, chunk=64):
+    """ssd_scan with a hand-derived memory-bounded backward.
+
+    Same rationale as :func:`selective_scan_grad` for Mamba1: AD through the
+    chunked forward saves every per-chunk (T, T, H) decay mask and the
+    cumsum/exp internals as residuals; this wrapper saves only the per-chunk
+    incoming states and recomputes chunk internals in the backward.  The
+    backward is the transpose of the masked-matmul SSD form, so it is MXU
+    work too:
+
+        gdx   = (W^T) gy + decay_to_end * (gH B)
+        gG    = sum_hp M * (gy dx^T)           -> gC += gG B, gB += gG^T C
+        gs    = collected from every exp(s...) factor; gdt/gA via the
+                reverse cumsum of gs (s = cumsum(dt * A_h))
+        gh_in = sum_t exp(s_t) C_t (x) gy_t + exp(s_T) gH   (reverse carry)
+    """
+    return ssd_scan(x, dt, A_head, B, C, D_head, h0, chunk=chunk)
+
+
+def _ssd_fwd(x, dt, A_head, B, C, D_head, h0, chunk):
+    Bsz, L, H, P = x.shape
+    f32 = jnp.float32
+    if h0 is None:
+        h0_f = jnp.zeros((Bsz, H, P, B.shape[-1]), f32)
+    else:
+        h0_f = h0.astype(f32)
+    n_chunks = -(-L // chunk)
+    pad = n_chunks * chunk - L
+    xf, dtf, Bf, Cf = (t.astype(f32) for t in (x, dt, B, C))
+    if pad:
+        xf_p = jnp.pad(xf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dtf_p = jnp.pad(dtf, ((0, 0), (0, pad), (0, 0)))
+        Bf_p = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+        Cf_p = jnp.pad(Cf, ((0, 0), (0, pad), (0, 0)))
+    else:
+        xf_p, dtf_p, Bf_p, Cf_p = xf, dtf, Bf, Cf
+
+    def chunks(t):
+        return t.reshape(Bsz, n_chunks, chunk, *t.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunks(xf_p), chunks(dtf_p), chunks(Bf_p), chunks(Cf_p))
+    Ah = A_head.astype(f32)
+
+    def chunk_step(h, inp):
+        xc, dtc, Bc, Cc = inp
+        s, M, G, dx, decay_to_end = _ssd_chunk_parts(xc, dtc, Bc, Cc, Ah, chunk)
+        y = jnp.einsum("btsh,bshp->bthp", G[..., None] * M, dx)
+        y = y + jnp.exp(s)[..., None] * jnp.einsum("btn,bhpn->bthp", Cc, h)
+        h_out = jnp.exp(s[:, -1, :])[:, :, None, None] * h + jnp.einsum(
+            "bth,bthp,btn->bhpn", decay_to_end, dx, Bc)
+        return h_out, (y, h)  # emit the chunk's INCOMING state
+
+    h_last, (ys, h_starts) = lax.scan(chunk_step, h0_f, xs)
+    y = ys.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, H, P)[:, :L]
+    if D_head is not None:
+        y = y + xf * D_head.astype(f32)[None, None, :, None]
+    return (y.astype(x.dtype), h_last), (x, dt, A_head, B, C, D_head, h0, h_starts)
+
+
+def _ssd_bwd(chunk, res, cts):
+    x, dt, A_head, B, C, D_head, h0, h_starts = res
+    gy, gh_last = cts
+    Bsz, L, H, P = x.shape
+    N = B.shape[-1]
+    f32 = jnp.float32
+    n_chunks = h_starts.shape[0]
+    pad = n_chunks * chunk - L
+    xf, dtf, Bf, Cf = (t.astype(f32) for t in (x, dt, B, C))
+    gyf = gy.astype(f32)
+    if pad:
+        xf_p = jnp.pad(xf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        gy_p = jnp.pad(gyf, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        dtf_p = jnp.pad(dtf, ((0, 0), (0, pad), (0, 0)))
+        Bf_p = jnp.pad(Bf, ((0, 0), (0, pad), (0, 0)))
+        Cf_p = jnp.pad(Cf, ((0, 0), (0, pad), (0, 0)))
+    else:
+        xf_p, gy_p, dtf_p, Bf_p, Cf_p = xf, gyf, dtf, Bf, Cf
+
+    def chunks(t):
+        return t.reshape(Bsz, n_chunks, chunk, *t.shape[2:]).swapaxes(0, 1)
+
+    xs = (chunks(xf_p), chunks(dtf_p), chunks(Bf_p), chunks(Cf_p),
+          chunks(gy_p), h_starts)
+    Ah = A_head.astype(f32)
+
+    def bwd_chunk(carry, inp):
+        gH, gA_acc = carry  # gH: adjoint of this chunk's OUTGOING state
+        xc, dtc, Bc, Cc, gyc, h_in = inp
+        s, M, G, dx, decay_to_end = _ssd_chunk_parts(xc, dtc, Bc, Cc, Ah, chunk)
+        es = jnp.exp(s)  # (B, T, H)
+        eT = es[:, -1, :]  # (B, H) = exp(s_T)
+
+        # ---- dx adjoint: W^T gy + decay_to_end * (gH B)
+        W = G[..., None] * M  # (B, T, T, H)
+        gdx = jnp.einsum("btsh,bthp->bshp", W, gyc)
+        gdx = gdx + decay_to_end[..., None] * jnp.einsum(
+            "bhpn,btn->bthp", gH, Bc)
+
+        # ---- G adjoint (contract heads x headdim), then B/C adjoints
+        E = jnp.einsum("bthp,bshp->btsh", gyc, dx)  # gy_t . dx_tau
+        gG = jnp.einsum("btsh,btsh->bts", E, M)
+        gC = jnp.einsum("bts,bsn->btn", gG, Bc)
+        gB = jnp.einsum("bts,btn->bsn", gG, Cc)
+        # state-path contributions
+        gC = gC + jnp.einsum("bth,bthp,bhpn->btn", es, gyc, h_in)
+        gB = gB + jnp.einsum("bth,bthp,bhpn->btn", decay_to_end, dx, gH)
+
+        # ---- s adjoint from every exp(s...) occurrence
+        # M = exp(s_t - s_tau): + at t, - at tau, weighted by gM*M summed
+        # over the other index
+        gM = E * G[..., None]
+        gs = jnp.einsum("btsh->bth", gM * M) - jnp.einsum("btsh->bsh", gM * M)
+        # exp(s)*C h_in output term: + at t
+        gs = gs + es * jnp.einsum("bthp,btn,bhpn->bth", gyc, Cc, h_in)
+        # decay_to_end = exp(s_T - s_tau) in h_out: - at tau, + at T
+        w_state = decay_to_end * jnp.einsum("bthp,btn,bhpn->bth", dx, Bc, gH)
+        gs = gs - w_state
+        gs = gs.at[:, -1, :].add(jnp.sum(w_state, axis=1))
+        # exp(s_T) h_in carry term: + at T
+        gs = gs.at[:, -1, :].add(eT * jnp.einsum("bhpn,bhpn->bh", gH, h_in))
+
+        # ---- dt / A adjoints: s = cumsum(dt * A_h) -> gv = revcumsum(gs)
+        gv = jnp.flip(jnp.cumsum(jnp.flip(gs, axis=1), axis=1), axis=1)
+        gdt = Ah * gv + jnp.einsum("bthp,bthp->bth", gdx, xc)
+        gA_acc = gA_acc + jnp.einsum("bth,bth->h", dtc, gv)
+        gx = dtc[..., None] * gdx
+
+        # ---- reverse state carry: adjoint of this chunk's INCOMING state
+        gh_in = jnp.einsum("bth,btn,bthp->bhpn", es, Cc, gyc) + \
+            eT[:, :, None, None] * gH
+        return (gh_in, gA_acc), (gx, gdt, gB, gC)
+
+    gH_init = gh_last.astype(f32)
+    (gh0_f, gA), (gx_c, gdt_c, gB_c, gC_c) = lax.scan(
+        bwd_chunk, (gH_init, jnp.zeros((H,), f32)), xs, reverse=True)
+
+    def unchunk(t):
+        return t.swapaxes(0, 1).reshape(Bsz, n_chunks * chunk, *t.shape[3:])[:, :L]
+
+    gx, gdt, gB, gC = map(unchunk, (gx_c, gdt_c, gB_c, gC_c))
+    if D_head is not None:
+        gx = gx + gyf * D_head.astype(f32)[None, None, :, None]
+        gD = jnp.einsum("bthp,bthp->h", gyf, xf)
+    else:
+        gD = None
+    return (
+        gx.astype(x.dtype), gdt.astype(dt.dtype), gA.astype(A_head.dtype),
+        gB.astype(B.dtype), gC.astype(C.dtype), gD,
+        None if h0 is None else gh0_f.astype(f32),
+    )
+
+
+ssd_scan_grad.defvjp(_ssd_fwd, _ssd_bwd)
+
+
 def selective_scan_ref(u, dt, A, B, C, D=None, h0=None):
     """Naive per-timestep reference scan (test oracle; also exact math)."""
     Bsz, L, d_inner = u.shape

@@ -56,6 +56,45 @@ def _add_noise(clean, snr_db, seed=0):
     return clean + noise
 
 
+def test_band_table_consistency():
+    """Cross-validate the transcribed P.862 band tables: the independently
+    transcribed centre and width sequences must satisfy
+    centre = cumsum(width) - width/2 (the bands tile the modified-Bark axis
+    contiguously), span [0, ~21.34] Bark, and the Hz warping implied by the
+    (centre_bark, centre_hz) pairs must be smooth and monotone with the
+    8 kHz structure ending at ~4 kHz Nyquist."""
+    from cleanumamba_tpu.eval.pesq_p862 import (
+        _ABS_THRESH_POWER_16K,
+        _CENTRE_BARK_16K,
+        _CENTRE_HZ_16K,
+        _N_BANDS_8K,
+        _WIDTH_BARK_16K,
+        _band_bin_weights,
+    )
+
+    cb = np.cumsum(_WIDTH_BARK_16K) - _WIDTH_BARK_16K / 2
+    np.testing.assert_allclose(cb, _CENTRE_BARK_16K, atol=5e-6)
+    total_bark = cb[-1] + _WIDTH_BARK_16K[-1] / 2
+    assert 21.2 < total_bark < 21.5
+    # warping slope dHz/dBark positive and increasing (smooth warping)
+    slope = np.diff(_CENTRE_HZ_16K) / np.diff(_CENTRE_BARK_16K)
+    assert np.all(slope > 0)
+    assert slope[0] < 110 and slope[-1] > 1000
+    # 8 kHz structure = first 42 bands, upper edge at the 4 kHz Nyquist
+    upper_42 = _CENTRE_HZ_16K[_N_BANDS_8K - 1]
+    assert 3700 < upper_42 < 4000
+    # thresholds: positive, high at LF, minimum in the 0.9-1.5 kHz region
+    assert np.all(_ABS_THRESH_POWER_16K > 0)
+    assert _ABS_THRESH_POWER_16K[0] > 1e6
+    assert 20 <= int(np.argmin(_ABS_THRESH_POWER_16K)) <= 30
+    # fractional-bin weights: every bin fully assigned (columns sum to 1)
+    # within the tabulated band span
+    W = _band_bin_weights(16000, 512, 49)
+    col = W.sum(axis=0)
+    assert np.all(col[1:250] > 0.999)  # interior bins fully covered
+    assert np.all(col <= 1.0 + 1e-9)
+
+
 def test_identity_scores():
     """Identical signals score the known P.862 saturation values
     (raw 4.5 through both logistic maps)."""

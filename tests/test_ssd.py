@@ -57,6 +57,54 @@ def test_mamba2_mixer_ssd_equals_broadcast(rng):
     np.testing.assert_allclose(y1, y2, atol=2e-4, rtol=1e-3)
 
 
+def test_ssd_custom_vjp_matches_ad(rng):
+    """ssd_scan_grad's hand-derived backward (transposed masked matmul,
+    chunk-boundary recompute) vs AD through the chunked ssd_scan forward —
+    every gradient, with and without h0, across a chunk boundary."""
+    from cleanumamba_tpu.ops.scan import ssd_scan_grad
+
+    Bsz, L, H, P, N = 2, 37, 3, 4, 5  # L=37 exercises the padded tail
+    x = jnp.asarray(rng.normal(size=(Bsz, L, H, P)), jnp.float32)
+    dt = jnp.asarray(np.abs(rng.normal(size=(Bsz, L, H))) * 0.1 + 0.01, jnp.float32)
+    A = jnp.asarray(-np.abs(rng.normal(size=(H,))) - 0.2, jnp.float32)
+    B = jnp.asarray(rng.normal(size=(Bsz, L, N)), jnp.float32)
+    C = jnp.asarray(rng.normal(size=(Bsz, L, N)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(H,)), jnp.float32)
+    h0 = jnp.asarray(rng.normal(size=(Bsz, H, P, N)), jnp.float32)
+    gy = jnp.asarray(rng.normal(size=(Bsz, L, H, P)), jnp.float32)
+    gh = jnp.asarray(rng.normal(size=(Bsz, H, P, N)), jnp.float32)
+
+    def loss_ad(*args):
+        y, hl = ssd_scan(*args, chunk=8)
+        return jnp.sum(y * gy) + jnp.sum(hl * gh)
+
+    def loss_vjp(*args):
+        y, hl = ssd_scan_grad(*args, 8)
+        return jnp.sum(y * gy) + jnp.sum(hl * gh)
+
+    g_ad = jax.grad(loss_ad, argnums=(0, 1, 2, 3, 4, 5, 6))(x, dt, A, B, C, D, h0)
+    g_vjp = jax.grad(loss_vjp, argnums=(0, 1, 2, 3, 4, 5, 6))(x, dt, A, B, C, D, h0)
+    for name, a, b in zip("x dt A B C D h0".split(), g_ad, g_vjp):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5 * scale, rtol=1e-4,
+                                   err_msg=f"grad {name}")
+
+    def l2_ad(*args):
+        return jnp.sum(ssd_scan(*args, None, chunk=8)[0] * gy)
+
+    def l2_vjp(*args):
+        return jnp.sum(ssd_scan_grad(*args, None, 8)[0] * gy)
+
+    ga = jax.grad(l2_ad, argnums=(0, 1, 2, 3, 4))(x, dt, A, B, C, D)
+    gb = jax.grad(l2_vjp, argnums=(0, 1, 2, 3, 4))(x, dt, A, B, C, D)
+    for name, a, b in zip("x dt A B C".split(), ga, gb):
+        scale = float(jnp.abs(a).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5 * scale, rtol=1e-4,
+                                   err_msg=f"h0=None grad {name}")
+
+
 def test_ssd_grad_finite(rng):
     Bsz, L, H, P, N = 1, 32, 2, 4, 4
     x = jnp.asarray(rng.normal(size=(Bsz, L, H, P)), jnp.float32)

@@ -37,10 +37,11 @@ def bench_one(name, path):
     from cleanumamba_tpu.convert import load_reference_checkpoint
     from cleanumamba_tpu.models.cleanumamba import count_params, prepare_for_length
     from cleanumamba_tpu.streaming import stream_prime, stream_step_block
-    from cleanumamba_tpu.utils import model_macs
+    from cleanumamba_tpu.utils import model_macs, model_macs_torch_convention
 
     cfg, params, _ = load_reference_checkpoint(path)
     n_params = count_params(params)
+    macs_paper = model_macs_torch_convention(params, cfg)
     params = prepare_for_length(params, cfg, 16000)
     macs = model_macs(params, cfg)
 
@@ -82,6 +83,7 @@ def bench_one(name, path):
         "model": name,
         "params": int(n_params),
         "macs_per_s": None if macs is None else int(macs),
+        "macs_paper_conv": int(macs_paper),
         "stream_rtf_block": round(rtf, 1),
         "frames_per_block": fpb,
     }
@@ -109,19 +111,26 @@ def main():
             "",
             "Converted from the reference pickles; streaming RTF is the",
             "on-device block-streaming loop (bf16 weights, ~256 ms blocks,",
-            "bench.py methodology).  MACs per 1 s of audio from XLA cost",
-            "analysis (reference reports the same quantity via torchprofile).",
+            "bench.py methodology).  Two MACs columns: 'XLA' counts the",
+            "flops our graph actually executes (cost analysis, scan",
+            "included); 'paper conv.' reproduces the published torchprofile",
+            "convention — conv-transpose counted on its OUTPUT length (a",
+            "stride-factor overcount) and custom ops (CUDA scan, FFT, fused",
+            "LSTM) counted zero.  On the 442K Mamba model the paper-",
+            "convention column reads 467M vs the published 468M (0.3%);",
+            "see utils.model_macs_torch_convention.",
             "",
-            "| model | params | MACs/s | streaming RTF |",
-            "|---|---|---|---|",
+            "| model | params | MACs/s (XLA) | MACs/s (paper conv.) | streaming RTF |",
+            "|---|---|---|---|---|",
         ]
         for r in rows:
             if "error" in r:
-                lines.append(f"| {r['model']} | — | — | ERROR: {r['error']} |")
+                lines.append(f"| {r['model']} | — | — | — | ERROR: {r['error']} |")
             else:
                 macs = "—" if r["macs_per_s"] is None else f"{r['macs_per_s']/1e6:.0f}M"
+                mp = f"{r['macs_paper_conv']/1e6:.0f}M"
                 lines.append(
-                    f"| {r['model']} | {r['params']:,} | {macs} "
+                    f"| {r['model']} | {r['params']:,} | {macs} | {mp} "
                     f"| {r['stream_rtf_block']}x |")
         with open(args.doc, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -19,33 +19,9 @@ import pytest
 from cleanumamba_tpu.eval.metrics import eval_waveform
 from cleanumamba_tpu.eval.pesq_p862 import pesq_p862
 
+from cleanumamba_tpu.eval.synth import speech_like as _speech  # noqa: E402
+
 FS = 16000
-
-
-def _speech(seed: int, seconds: float = 4.0) -> np.ndarray:
-    """Speech-like test signal: harmonic syllables + fricatives + floor."""
-    rng = np.random.default_rng(seed)
-    n = int(seconds * FS)
-    t = np.arange(n) / FS
-    x = np.zeros(n)
-    env = np.zeros(n)
-    for _ in range(int(seconds * 3)):
-        f0 = rng.uniform(90, 280)
-        s = int(rng.integers(0, n - FS // 3))
-        d = int(rng.uniform(0.15, 0.35) * FS)
-        tt = t[s:s + d] - t[s]
-        e = np.hanning(d)
-        sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * tt + rng.uniform(0, 6.28))
-                  / (k + 1) for k in range(6))
-        x[s:s + d] += e * sig
-        env[s:s + d] = np.maximum(env[s:s + d], e)
-    for _ in range(int(seconds * 2)):
-        s = int(rng.integers(0, n - FS // 8))
-        d = int(rng.uniform(0.04, 0.12) * FS)
-        burst = rng.normal(size=d)
-        burst -= np.convolve(burst, np.ones(9) / 9.0, mode="same")
-        x[s:s + d] += 0.25 * np.hanning(d) * burst
-    return (x / (np.abs(x).max() + 1e-9) * 0.3).astype(np.float64)
 
 
 def _add_noise(clean, snr_db, seed=0):

@@ -89,6 +89,9 @@ def main():
                 "value": round(rtf, 2),
                 "unit": "x_realtime",
                 "vs_baseline": round(rtf / 10.0, 3),
+                # run-to-run spread of the same measurement (tunnel jitter
+                # diagnostics — VERDICT r2 weak #2): all rep times in ms
+                "reps_ms": [round(d * 1e3, 1) for d in dts],
             }
         )
     )

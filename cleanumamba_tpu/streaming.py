@@ -321,11 +321,20 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
     return cache, jnp.swapaxes(ys, 0, 1)
 
 
+def _stack_strided_frames(window, starts, length):
+    """(B, len(starts), length) from static per-frame slices — N static
+    lax.slice copies instead of one advanced-indexing gather (TPU gathers
+    serialise; static slices fuse, docs/performance.md)."""
+    return jnp.stack(
+        [jax.lax.slice_in_dim(window, int(s), int(s) + length, axis=1)
+         for s in starts], axis=1)
+
+
 def _blockwise_frame_stds(window, fl, ts, N):
     """Per-frame sliding stds: std of window[:, t*ts : t*ts + fl] for each of
     the N frames in a block.  (B, N, 1), float32."""
-    idx = jnp.arange(N)[:, None] * ts + jnp.arange(fl)[None, :]
-    frames = window.astype(jnp.float32)[:, idx]  # (B, N, fl)
+    frames = _stack_strided_frames(window.astype(jnp.float32),
+                                   [t * ts for t in range(N)], fl)
     return jnp.std(frames, axis=2, keepdims=True) + 1e-3
 
 
@@ -391,9 +400,9 @@ def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=
         # level 0: per-frame suffix slices, each under its own EMA std
         B = window.shape[0]
         per_frame_len = K + S * (strides[0] - 1)
-        starts = fl + jnp.arange(N) * ts - per_frame_len
-        idx = starts[:, None] + jnp.arange(per_frame_len)[None, :]
-        slices = window[:, idx]  # (B, N, per_frame_len)
+        slices = _stack_strided_frames(
+            window, [fl + t * ts - per_frame_len for t in range(N)],
+            per_frame_len)  # (B, N, per_frame_len)
         slices = (slices / ema[..., None]).astype(dtype)
         out0 = encoder_level(
             params["encoder"][0],

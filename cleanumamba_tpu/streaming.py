@@ -339,22 +339,30 @@ def _blockwise_frame_stds(window, fl, ts, N):
 
 
 def _ema_stds(std_now, std0, frames0):
-    """Sequential per-frame EMA, identical to N stream_step updates:
+    """Per-frame EMA, identical to N stream_step updates:
     s_t = std_t / n_t + (1 - 1/n_t) * s_{t-1},  n_t = frames0 + t + 1.
+
+    Closed form (the recurrence is linear with known coefficients),
+    anchored at frame 0 (whose coef may be exactly 0 on a fresh stream):
+    with w_t = prod_{1<=j<=t}(1 - 1/n_j) > 0,
+    s_t = w_t * (s_0 + sum_{1<=j<=t} (std_j / n_j) / w_j) — a cumprod and
+    a cumsum instead of the N-step sequential lax.scan this replaced (N
+    tiny dispatches in the block-streaming hot path).  w_t is O(1) and
+    monotone in [coef_1^N, 1]: no over/underflow at any block size.
 
     std_now: (B, N, 1);  std0: (B, 1).  Returns (B, N) per-frame EMA values.
     """
     N = std_now.shape[1]
     n_t = frames0.astype(jnp.float32) + 1.0 + jnp.arange(N, dtype=jnp.float32)
-
-    def upd(s, inputs):
-        std_t, n = inputs
-        s = std_t / n + (1.0 - 1.0 / n) * s
-        return s, s
-
-    _, ema = jax.lax.scan(upd, std0[:, 0],
-                          (jnp.moveaxis(std_now[:, :, 0], 1, 0), n_t))
-    return jnp.moveaxis(ema, 0, 1)  # (B, N)
+    coef = 1.0 - 1.0 / n_t  # (N,) in [0, 1]; coef_0 = 0 iff fresh stream
+    s_first = std_now[:, 0, 0] / n_t[0] + coef[0] * std0[:, 0]  # (B,)
+    if N == 1:
+        return s_first[:, None]
+    # anchored at s_first, all later coefs are > 0 (n_j >= 2): closed form
+    w = jnp.cumprod(coef[1:])  # (N-1,) relative products
+    terms = (std_now[:, 1:, 0] / n_t[None, 1:]) / w[None, :]
+    rest = w[None, :] * (s_first[:, None] + jnp.cumsum(terms, axis=1))
+    return jnp.concatenate([s_first[:, None], rest], axis=1)  # (B, N)
 
 
 def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.float32):

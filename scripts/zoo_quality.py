@@ -49,14 +49,17 @@ CONDITIONS = [  # (noise kind, SNR dB) — spans easy to hard
     ("white", 5.0), ("white", 10.0), ("white", 15.0),
     ("pink", 10.0), ("babble", 10.0), ("babble", 15.0),
 ]
-METRICS = ("pesq_wb", "pesq_nb", "stoi", "si_sdr", "covl")
+# covl intentionally absent: LLR/WSS saturate their clamps on synthetic
+# material (every model pins covl to 1.0), carrying no ordering signal.
+METRICS = ("pesq_wb", "pesq_nb", "stoi", "si_sdr")
 
 
-def make_bank():
+def make_bank(material: str = "like"):
     """(clean[(U,L)], noisy[(U*C, L)]) — utterance-major condition order."""
-    from cleanumamba_tpu.eval.synth import add_noise, speech_like
+    from cleanumamba_tpu.eval.synth import add_noise, speech_dense, speech_like
 
-    cleans = np.stack([speech_like(100 + u, SECONDS, FS) for u in range(N_UTTS)])
+    gen = {"like": speech_like, "dense": speech_dense}[material]
+    cleans = np.stack([gen(100 + u, SECONDS, FS) for u in range(N_UTTS)])
     rows = []
     for u in range(N_UTTS):
         for ci, (kind, snr) in enumerate(CONDITIONS):
@@ -104,19 +107,28 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/root/reference/checkpoints")
     ap.add_argument("--only", default=None)
-    ap.add_argument("--json", default=os.path.join(REPO, "docs", "zoo_quality.json"))
+    ap.add_argument("--material", default="dense", choices=("like", "dense"),
+                    help="synthetic material generator (eval/synth.py); dense "
+                         "approximates recorded speech more closely and is the "
+                         "one the committed orderings use")
+    ap.add_argument("--json", default=None,
+                    help="defaults to docs/zoo_quality.json (dense) or "
+                         "docs/zoo_quality_<material>.json otherwise")
     ap.add_argument("--doc", action="store_true",
                     help="also rewrite docs/zoo_quality.md from the JSON")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; sitecustomize "
                          "ignores JAX_PLATFORMS)")
     args = ap.parse_args()
+    if args.json is None:
+        suffix = "" if args.material == "dense" else f"_{args.material}"
+        args.json = os.path.join(REPO, "docs", f"zoo_quality{suffix}.json")
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    cleans, noisy = make_bank()
+    cleans, noisy = make_bank(args.material)
     results = {}
     if os.path.exists(args.json):
         with open(args.json) as f:
@@ -138,6 +150,7 @@ def main():
         print(json.dumps({"model": name, **results[name]}), flush=True)
         payload = {
             "material": {
+                "generator": args.material,
                 "n_utts": N_UTTS, "seconds": SECONDS, "fs": FS,
                 "conditions": CONDITIONS,
                 "note": "synthetic speech-like utterances (eval/synth.py); "
@@ -149,22 +162,23 @@ def main():
             json.dump(payload, f, indent=1)
 
     if args.doc:
-        doc = os.path.join(REPO, "docs", "zoo_quality.md")
+        suffix = "" if args.material == "dense" else f"_{args.material}"
+        doc = os.path.join(REPO, "docs", f"zoo_quality{suffix}.md")
         lines = [
             "# Released-checkpoint quality sweep (synthetic material)",
             "",
             "All 13 converted reference checkpoints denoising the same bank of",
-            f"{N_UTTS} synthetic speech-like utterances x {len(CONDITIONS)} noise",
-            "conditions (white/pink/babble at 5-15 dB SNR), scored with the",
-            "from-scratch eval stack (PESQ P.862 / STOI / composites).",
-            "The DNS test set is not available in this environment, so these",
-            "are ORDERING evidence (paper README.md:59-164), not absolute",
+            f"{N_UTTS} synthetic utterances (`eval/synth.py::speech_{args.material}`)",
+            f"x {len(CONDITIONS)} noise conditions (white/pink/babble at 5-15 dB",
+            "SNR), scored with the from-scratch eval stack (PESQ P.862 / STOI /",
+            "SI-SDR).  The DNS test set is not available in this environment, so",
+            "these are ORDERING evidence (paper README.md:59-164), not absolute",
             "parity; see tests/test_zoo_quality.py for the asserted orderings.",
             "PESQ here carries the calibration uncertainty documented in",
             "eval/pesq_p862.py.",
             "",
-            "| model | params | PESQ-WB | PESQ-NB | STOI | SI-SDR (dB) | COVL |",
-            "|---|---|---|---|---|---|---|",
+            "| model | params | PESQ-WB | PESQ-NB | STOI | SI-SDR (dB) |",
+            "|---|---|---|---|---|---|",
         ]
         order = ["noisy"] + [n for n, _ in CKPTS]
         for name in order:
@@ -172,11 +186,11 @@ def main():
             if r is None:
                 continue
             if "error" in r:
-                lines.append(f"| {name} | — | ERROR: {r['error']} | | | | |")
+                lines.append(f"| {name} | — | ERROR: {r['error']} | | | |")
                 continue
             lines.append(
                 f"| {name} | {r['params']:,} | {r['pesq_wb']} | {r['pesq_nb']} "
-                f"| {r['stoi']} | {r['si_sdr']} | {r['covl']} |")
+                f"| {r['stoi']} | {r['si_sdr']} |")
         with open(doc, "w") as f:
             f.write("\n".join(lines) + "\n")
         print("wrote", doc, file=sys.stderr)

@@ -124,11 +124,19 @@ def _bottleneck_step(params, cfg: CleanUMambaConfig, cache, x):
 # Shared decoder/bottleneck tail (used by both prime and step)
 # --------------------------------------------------------------------------
 
-def _decode_frame(params, cfg, skips, bott_cache, dec_caches, dtype):
+def _decode_frame(params, cfg, skips, bott_cache, dec_caches, dtype,
+                  packs=None, interpret=False):
     """From level-wise skip activations (one frame) to total_stride samples.
 
     skips[i]: (B, len_i, C_i) full frame output of encoder level i.
     Returns (new_bott_cache, new_dec_caches, out (B, total_stride, 1)).
+
+    packs: optional ``(arrays, meta)`` from
+    ops.pallas.stream_fused.pack_stream_params — levels with a non-None
+    entry run as ONE fused Pallas kernel (skip-add + mix + GLU + convT +
+    overlap-add + tail), identical math to the XLA branch below; the dec
+    cache layout (B, S, Cout) is shared by both paths so they interleave
+    freely across frames.
     """
     D, S = cfg.encoder_n_layers, cfg.stride
     x = skips[-1]  # (B, 1, C_last)
@@ -141,6 +149,25 @@ def _decode_frame(params, cfg, skips, bott_cache, dec_caches, dtype):
     rev_skips = skips[::-1]
     for j, dp in enumerate(params["decoder"]):
         enc_i = D - 1 - j
+        pk = packs[1]["dec"][j] if packs is not None else None
+        prev = dec_caches[j] if dec_caches is not None else None
+        if pk is not None:
+            from cleanumamba_tpu.ops.pallas.stream_fused import (
+                fused_decoder_level,
+            )
+
+            arrays = packs[0]["dec"][j]
+            B, T = x.shape[0], x.shape[1]
+            Cout = pk["Cout"]
+            skip = rev_skips[j][:, :T, :]
+            prev_g = prev.reshape(B, 1, S * Cout) if prev is not None else None
+            out_g, tail_g = fused_decoder_level(
+                x, skip, prev_g, arrays, pk, relu=(j != D - 1),
+                compute_dtype=pk["cdt"], interpret=interpret,
+            )
+            new_dec.append(tail_g.reshape(B, S, Cout).astype(dtype))
+            x = out_g.reshape(B, T * S, Cout).astype(dtype)
+            continue
         x = x + rev_skips[j][:, : x.shape[1], :]
         # mix + GLU + convT (no relu yet; relu applies after overlap-add)
         x = decoder_level(dp, x, cfg, enc_i, relu=False)
@@ -148,7 +175,6 @@ def _decode_frame(params, cfg, skips, bott_cache, dec_caches, dtype):
         tail = x[:, -S:, :] - dp["convt_b"].astype(dtype)
         new_dec.append(tail)
         x = x[:, :-S, :]
-        prev = dec_caches[j] if dec_caches is not None else None
         if prev is not None:
             x = x.at[:, :S, :].add(prev)
         if j != D - 1:
@@ -203,10 +229,14 @@ def stream_prime(params, cfg: CleanUMambaConfig, frame, dtype=jnp.float32):
     return state, out
 
 
-def stream_step(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.float32):
+def stream_step(params, cfg: CleanUMambaConfig, state, new_samples,
+                dtype=jnp.float32, packs=None, interpret=False):
     """Steady-state step: consume total_stride new raw samples, emit the same.
 
     new_samples: (B, total_stride).  Returns (state', out (B, total_stride)).
+
+    packs: optional fused-Pallas level packs (see :func:`_decode_frame`);
+    packed encoder levels run window-GEMM + ReLU + mix + GLU as one kernel.
     """
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
     strides = _level_strides(cfg)
@@ -227,14 +257,29 @@ def stream_step(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.fl
     enc_caches = []
     for i, ep in enumerate(params["encoder"]):
         suffix_len = K + S * (strides[i] - 1)
-        new_out = encoder_level(ep, x_prev_full[:, -suffix_len:, :], cfg, i)
+        suffix = x_prev_full[:, -suffix_len:, :]
+        pk = packs[1]["enc"][i] if packs is not None else None
+        if pk is not None:
+            from cleanumamba_tpu.ops.pallas.stream_fused import (
+                encoder_windows,
+                fused_encoder_level,
+            )
+
+            win = encoder_windows(suffix, K, S)
+            new_out = fused_encoder_level(
+                win, packs[0]["enc"][i], pk,
+                compute_dtype=pk["cdt"], interpret=interpret,
+            ).astype(dtype)
+        else:
+            new_out = encoder_level(ep, suffix, cfg, i)
         x_full = jnp.concatenate([state["enc"][i], new_out], axis=1)
         skips.append(x_full)
         enc_caches.append(x_full[:, strides[i] :, :])
         x_prev_full = x_full
 
     bott_cache, dec_caches, out = _decode_frame(
-        params, cfg, skips, state["bottleneck"], state["dec"], dtype
+        params, cfg, skips, state["bottleneck"], state["dec"], dtype,
+        packs=packs, interpret=interpret,
     )
     out = out[:, : cfg.total_stride, 0]
     if cfg.normalize_input:
@@ -473,12 +518,14 @@ def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=
     return new_state, out
 
 
-def stream_many(params, cfg: CleanUMambaConfig, state, blocks, dtype=jnp.float32, unroll: int = 1):
+def stream_many(params, cfg: CleanUMambaConfig, state, blocks, dtype=jnp.float32,
+                unroll: int = 1, packs=None, interpret=False):
     """On-device multi-frame streaming: ``lax.scan`` the step over
     (n_frames, B, total_stride) blocks.  Returns (state', (B, n*stride))."""
 
     def body(st, blk):
-        st, out = stream_step(params, cfg, st, blk, dtype)
+        st, out = stream_step(params, cfg, st, blk, dtype,
+                              packs=packs, interpret=interpret)
         return st, out
 
     state, outs = jax.lax.scan(body, state, blocks, unroll=unroll)
@@ -494,13 +541,20 @@ class Streamer:
 
     def __init__(self, params, cfg: CleanUMambaConfig, batch: int = 1,
                  dtype=jnp.float32, weights: str = "fp32",
-                 quant_min_size: int = 4096):
+                 quant_min_size: int = 4096, fused: str | bool = "auto",
+                 fused_interpret: bool = False):
         """weights: "fp32" | "bf16" | "int8" — storage precision of the
         weight tensors the per-frame step streams from HBM.  Single-frame
         latency is weight-bandwidth-bound, so this is the latency lever:
         "bf16" halves the traffic, "int8" (per-channel scales, dequantized
         inside the jitted step) halves it again.  State/activation math
-        stays in ``dtype``."""
+        stays in ``dtype``.
+
+        fused: collapse each lane-aligned U-Net level of the single-frame
+        step into one Pallas kernel (ops/pallas/stream_fused.py) — cuts the
+        per-op dispatch cost that dominates block=1 latency.  "auto" = on
+        TPU; fused_interpret runs the kernels in interpret mode (CPU
+        equivalence tests)."""
         if weights == "int8":
             from cleanumamba_tpu.quant import dequantize_params, quantize_params
 
@@ -529,8 +583,34 @@ class Streamer:
         self.cfg = cfg
         self.dtype = dtype
         self.batch = batch
+        if fused == "auto":
+            from cleanumamba_tpu.ops.pallas.selective_scan import pallas_available
+
+            # int8 stays on the XLA path: its fused dequant-into-GEMM beats
+            # the kernels' in-register dequant at streaming's tiny GEMM
+            # sizes (measured, docs/performance.md block=1 table).
+            fused = pallas_available() and weights != "int8"
+        self._pack_arrays = None
+        pack_meta = None
+        if fused:
+            from cleanumamba_tpu.ops.pallas.stream_fused import pack_stream_params
+
+            cdt = jnp.float32 if weights == "fp32" else jnp.bfloat16
+            # Measured policy (docs/performance.md block=1 table): fp32 fuses
+            # every level that fits VMEM (XLA's fp32 smalls are slowest);
+            # bf16 fuses only dispatch-bound small levels — XLA already wins
+            # the big GEMMs at bf16.
+            budget = (10 if weights == "fp32" else 1) * 1024 * 1024
+            self._pack_arrays, pack_meta = pack_stream_params(
+                self.params, cfg, cdt, budget=budget)
         self._prime = jax.jit(lambda p, f: stream_prime(view(p), cfg, f, dtype))
-        self._step = jax.jit(lambda p, s, n: stream_step(view(p), cfg, s, n, dtype))
+        self._step = jax.jit(
+            lambda p, s, n, pa: stream_step(
+                view(p), cfg, s, n, dtype,
+                packs=(pa, pack_meta) if pack_meta is not None else None,
+                interpret=fused_interpret,
+            )
+        )
         # block step: all frames available in a feed() run as ONE parallel
         # block (weights read once per block, not once per frame) — see
         # stream_step_block / docs/performance.md
@@ -559,7 +639,8 @@ class Streamer:
             n_frames = max(0, (self.pending.shape[1] - fl) // ts + 1) if self.pending.shape[1] >= fl else 0
             if n_frames == 1:
                 new = self.pending[:, fl - ts : fl]
-                self.state, out = self._step(self.params, self.state, jnp.asarray(new))
+                self.state, out = self._step(
+                    self.params, self.state, jnp.asarray(new), self._pack_arrays)
                 outs.append(np.asarray(out))
                 self.pending = self.pending[:, ts:]
             elif n_frames > 1:

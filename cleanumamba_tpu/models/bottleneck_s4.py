@@ -461,6 +461,38 @@ def mixer_step(p, cache, x):
     return new_cache, out
 
 
+def sp_discrete_system(p):
+    """Host-side prep for sequence parallelism: the mixer's constant
+    discrete SSM ``s' = dA s + dB u, y = Re(dC s)`` exactly as the streaming
+    step carries it (mixer_init_cache), as real-pair arrays (complex leaves
+    cannot cross the jit boundary on the axon relay): ``{"dA": (H,N,N,2),
+    "dB": (H,N,2), "dC": (C,H,N,2)}``.
+
+    Deliberately NOT eigendecomposed: diagonalizing the DPLR transition is
+    catastrophically ill-conditioned at fp32 runtime (measured: cond(V) ~
+    1e8, transformed |B̂| ~ 4e6, kernel reconstruction error O(1) in
+    complex64 — the same failure mode the S4 paper gives for naive
+    diagonalization of HiPPO).  The cross-device composition instead uses
+    dense ``dA^T`` via repeated squaring (parallel/sequence.py::_sp_mixer_s4),
+    which stays at the step form's own conditioning.
+    """
+    with _on_host_cpu():
+        if "P" in p["kernel"]:
+            dA, dB = _dense_discrete(p["kernel"])
+            dC = _dC_from_Ctilde(p["kernel"], dA)
+        else:
+            dAd, dB, dC = s4_diag_discrete(
+                p["kernel"], _tag(p["kernel"], "disc", "zoh"))
+            dA = dAd[:, :, None] * jnp.eye(
+                dAd.shape[-1], dtype=jnp.complex64)[None]
+        dA, dB, dC = (np.asarray(dA, np.complex64), np.asarray(dB, np.complex64),
+                      np.asarray(dC, np.complex64))
+    if dC.shape[0] != 1:
+        raise NotImplementedError(
+            f"sequence parallelism assumes n_ssm_channels == 1, got {dC.shape[0]}")
+    return {"dA": _c2r(dA), "dB": _c2r(dB), "dC": _c2r(dC)}
+
+
 # ---------------------------------------------------------------------------
 # init (training from scratch)
 # ---------------------------------------------------------------------------

@@ -40,8 +40,13 @@ Semantics: the output equals streaming [zeros(ctx) | x] through
 stream_prime/stream_step_block on ONE device (``ctx = frame_length +
 2*total_stride`` — the stream is "zero-primed": it warms up on silence
 instead of seeing future context), with outputs aligned back to x.
-Supported bottlenecks: "mamba" and "mamba2" (the flagship family; mamba2's
-per-head scalar decay broadcasts into the same composition).
+Supported bottlenecks: "mamba", "mamba2" and "mamba_s4" — every SSM family.
+mamba2's per-head scalar decay broadcasts into the same exp(A·Σdt)
+composition; mamba_s4's transition is input-independent, so its segment
+composition is the constant dense matrix power ``dA^T`` (repeated squaring)
+on the streaming step's own discrete system (_sp_mixer_s4).  MHA (its sliding
+KV window can span many segments) and LSTM (nonlinear recurrence) stay
+single-device.
 """
 
 from __future__ import annotations
@@ -152,6 +157,121 @@ def _sp_scan_core(xs_e, dt_e, B_e, C_e, A, D, axis_name, n_dev, idx, chunk):
 
     y = y0.astype(jnp.float32) + _h0_response(dt_m, C_m, A, h0_mine, chunk)
     return y, y_w.astype(jnp.float32)
+
+
+def _cpair(x):
+    """complex -> (..., 2) real pair (complex arrays do not ride the axon
+    relay's collectives / jit boundary reliably; pairs always do)."""
+    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1).astype(jnp.float32)
+
+
+def _cunpair(x):
+    return x[..., 0] + 1j * x[..., 1]
+
+
+def _s4_scan(dA, dB, dC, u, s0):
+    """Sequential constant-coefficient SSM, exactly the streaming step's
+    recurrence (models/bottleneck_s4.py::mixer_step): ``s_t = dA s_{t-1} +
+    dB u_t``, ``y_t = Re(dC s_t)``.  u (B,T,H) fp32, s0 (B,H,N) complex64.
+    Returns (y (B,T,H) fp32, s_T)."""
+    def body(s, u_t):  # u_t (B, H)
+        s = jnp.einsum("hmn,bhn->bhm", dA, s) + \
+            dB[None] * u_t[..., None].astype(jnp.complex64)
+        y = jnp.einsum("chn,bhn->bch", dC, s).real[:, 0]
+        return s, y
+
+    s, ys = jax.lax.scan(body, s0, u.swapaxes(0, 1))
+    return ys.swapaxes(0, 1), s
+
+
+def _s4_mat_power(dA, T: int):
+    """dA^T per feature, repeated squaring (T is a static Python int)."""
+    H, N, _ = dA.shape
+    out = jnp.broadcast_to(jnp.eye(N, dtype=dA.dtype)[None], dA.shape)
+    base = dA
+    while T:
+        if T & 1:
+            out = jnp.einsum("hmn,hnk->hmk", base, out)
+        base = jnp.einsum("hmn,hnk->hmk", base, base)
+        T >>= 1
+    return out
+
+
+def _sp_s4_core(u_e, sys, axis_name, n_dev, idx, chunk):
+    """Cross-device constant-coefficient SSM over [warm | mine] inputs.
+
+    u_e (B, WARM+T, H) real.  Returns (y_mine, y_warm) fp32 = Re(dC s)
+    WITHOUT the D skip (caller adds it).  Same composition scheme as
+    _sp_scan_core, but the transition is input-independent, so the
+    published segment transition is the constant dense ``dA^T`` (``dA^{W+T}``
+    on device 0; repeated squaring) and the incoming state folds with
+    n_dev dense matvecs.  The dense form is kept deliberately —
+    models/bottleneck_s4.py::sp_discrete_system documents why
+    diagonalizing it is numerically unusable at fp32."""
+    w = _WARM
+    dA = _cunpair(sys["dA"])      # (H, N, N)
+    dB = _cunpair(sys["dB"])      # (H, N)
+    dC = _cunpair(sys["dC"])      # (1, H, N)
+    u_w = u_e[:, :w].astype(jnp.float32)
+    u_m = u_e[:, w:].astype(jnp.float32)
+    Bz, T, H = u_m.shape
+    s0 = jnp.zeros((Bz, H, dA.shape[-1]), jnp.complex64)
+
+    y0_w, h_pre = _s4_scan(dA, dB, dC, u_w, s0)
+    _, h_loc = _s4_scan(dA, dB, dC, u_m, s0)
+
+    AT = _s4_mat_power(dA, T)
+    ATW = jnp.einsum("hmn,hnk->hmk", AT, _s4_mat_power(dA, w))
+    is0 = (idx == 0)
+    pub_A = jnp.where(is0, ATW, AT)  # (H, N, N)
+    pub_h = jnp.where(
+        is0, jnp.einsum("hmn,bhn->bhm", AT, h_pre) + h_loc, h_loc)
+
+    segs_A = _cunpair(jax.lax.all_gather(_cpair(pub_A), axis_name))
+    segs_h = _cunpair(jax.lax.all_gather(_cpair(pub_h), axis_name))
+    h0 = jnp.zeros_like(h_loc)
+    prefixes = []
+    for kdev in range(n_dev):
+        prefixes.append(h0)
+        h0 = jnp.einsum("hmn,bhn->bhm", segs_A[kdev], h0) + segs_h[kdev]
+    h0_mine = jnp.take(jnp.stack(prefixes), idx, axis=0)
+    h0_mine = jnp.where(is0, h_pre, h0_mine)
+
+    y_m, _ = _s4_scan(dA, dB, dC, u_m, h0_mine)
+    return y_m, y0_w
+
+
+def _sp_mixer_s4(p, hidden_ext, axis_name, n_dev, idx, chunk, sys):
+    """One MambaS4 mixer over [warm | mine] tokens with cross-device state.
+
+    Mirrors models/bottleneck_s4.py::mixer_step exactly: in_proj split ->
+    causal conv + SiLU -> input_linear -> linear SSM (+D skip) -> GELU ->
+    output_linear + GLU -> z-gate -> out_proj; only the linear SSM stage
+    crosses the device boundary (everything else is token-local).
+    sys: the replicated discrete system from sp_discrete_system."""
+    d_inner = p["conv_w"].shape[1]
+    x = hidden_ext
+    xz = x @ p["in_proj"].astype(x.dtype)
+    xs_e, z_e = xz[..., :d_inner], xz[..., d_inner:]
+    xs_e = _zero_padded_conv(xs_e, p["conv_w"], p["conv_b"])
+    u_e = xs_e @ p["input_linear_w"].astype(xs_e.dtype) + \
+        p["input_linear_b"].astype(xs_e.dtype)
+
+    w = _WARM
+    y_m, y_w = _sp_s4_core(u_e, sys, axis_name, n_dev, idx, chunk)
+    D = p["ssm_D"].astype(jnp.float32)[0]  # (H,), C=1
+
+    def tail(y_lin, u_part, z_part):
+        y = y_lin + u_part.astype(jnp.float32) * D[None, None]
+        y = jax.nn.gelu(y.astype(x.dtype), approximate=False)
+        y = y @ p["output_linear_w"].astype(x.dtype) + \
+            p["output_linear_b"].astype(x.dtype)
+        half = y.shape[-1] // 2
+        y = y[..., :half] * jax.nn.sigmoid(y[..., half:])
+        y = y * jax.nn.silu(z_part)
+        return y @ p["out_proj"].astype(y.dtype)
+
+    return tail(y_m, u_e[:, w:], z_e[:, w:]), tail(y_w, u_e[:, :w], z_e[:, :w])
 
 
 def _sp_mixer(p, hidden_ext, axis_name, n_dev, idx, chunk):
@@ -287,8 +407,11 @@ def _level0_normalized(params, cfg, window, ema, idx, N, dtype, off):
 
 
 def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
-              dtype, chunk):
-    """Per-device program (inside shard_map).  x_local: (B, N*ts) raw."""
+              dtype, chunk, extras=()):
+    """Per-device program (inside shard_map).  x_local: (B, N*ts) raw.
+
+    extras: per-layer replicated side data (mamba_s4: the diagonalized
+    discrete systems from sp_diagonal_system; empty otherwise)."""
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
     ts, fl = cfg.total_stride, cfg.frame_length
     N = x_local.shape[1] // ts
@@ -335,7 +458,7 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
     hid_m, res_m = z_ext[:, w:], jnp.zeros(z_ext[:, w:].shape, jnp.float32)
     hid_w, res_w = z_ext[:, :w], jnp.zeros(z_ext[:, :w].shape, jnp.float32)
     eps = cfg.norm_epsilon
-    for lp in bp["layers"]:
+    for li, lp in enumerate(bp["layers"]):
         res_ext = jnp.concatenate([res_w, res_m], axis=1) + \
             jnp.concatenate([hid_w, hid_m], axis=1).astype(jnp.float32)
         if cfg.rms_norm:
@@ -344,9 +467,14 @@ def _sp_shard(params, cfg: CleanUMambaConfig, x_local, axis_name, n_dev,
             hidden_ext = layer_norm(res_ext, lp["norm"]["scale"],
                                     lp["norm"]["bias"], eps)
         hidden_ext = hidden_ext.astype(dtype)
-        mixer_fn = _sp_mixer2 if cfg.bottleneck == "mamba2" else _sp_mixer
-        out_m, warm_local = mixer_fn(lp["mixer"], hidden_ext, axis_name,
-                                     n_dev, idx, chunk)
+        if cfg.bottleneck == "mamba_s4":
+            out_m, warm_local = _sp_mixer_s4(lp["mixer"], hidden_ext,
+                                             axis_name, n_dev, idx, chunk,
+                                             extras[li])
+        else:
+            mixer_fn = _sp_mixer2 if cfg.bottleneck == "mamba2" else _sp_mixer
+            out_m, warm_local = mixer_fn(lp["mixer"], hidden_ext, axis_name,
+                                         n_dev, idx, chunk)
         res_m = res_ext[:, w:]
         res_w_next = _pperm_right(res_m[:, -w:], axis_name, n_dev)
         hid_w_next = _pperm_right(out_m[:, -w:], axis_name, n_dev)
@@ -391,11 +519,20 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     (see module docstring), aligned to x; the tail shorter than the model
     lookahead is zero-padded internally exactly like ``Streamer.flush``.
     """
-    if cfg.bottleneck not in ("mamba", "mamba2"):
+    if cfg.bottleneck not in ("mamba", "mamba2", "mamba_s4"):
         raise NotImplementedError(
-            "sequence parallelism: mamba/mamba2 bottlenecks only (S4's DPLR "
-            "kernel and LSTM/MHA caches do not compose the exp(A*Σdt) "
-            "closed-form segment transition)")
+            "sequence parallelism: mamba/mamba2/mamba_s4 bottlenecks only "
+            "(MHA's sliding KV window can span many segments and LSTM's "
+            "nonlinear recurrence has no closed-form segment transition)")
+    extras = ()
+    if cfg.bottleneck == "mamba_s4":
+        from cleanumamba_tpu.models.bottleneck_s4 import sp_discrete_system
+
+        # host-side, once per call: diagonalize each layer's constant
+        # discrete transition so the shard program's composition is
+        # elementwise (complex data rides as real pairs)
+        extras = tuple(sp_discrete_system(lp["mixer"])
+                       for lp in params["bottleneck"]["layers"])
     for lp in params["bottleneck"]["layers"]:
         d_conv = lp["mixer"]["conv_w"].shape[0]
         if d_conv - 1 > _WARM:
@@ -426,12 +563,13 @@ def sp_stream_denoise(params, cfg: CleanUMambaConfig, x, mesh: Mesh,
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
-        lambda p, xl: _sp_shard(p, cfg, xl, axis_name, n_dev, dtype, chunk),
+        lambda p, xl, ex: _sp_shard(p, cfg, xl, axis_name, n_dev, dtype,
+                                    chunk, ex),
         mesh=mesh,
-        in_specs=(P(), P(None, axis_name)),
+        in_specs=(P(), P(None, axis_name), P()),
         out_specs=P(None, axis_name),
         check_rep=False,
     )
-    y = fn(params, xp)  # positions [w*ts, w*ts + total) of the padded stream
+    y = fn(params, xp, extras)  # positions [w*ts, w*ts + total) of the padded stream
     # x's outputs sit fl - ts later than the block start (zero-prime offset)
     return y[:, fl - ts : fl - ts + L]

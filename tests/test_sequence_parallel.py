@@ -45,6 +45,7 @@ def _reference_zero_primed(params, cfg, x, total):
     (8, False, "mamba"), (4, False, "mamba"), (1, False, "mamba"),
     (8, True, "mamba"), (4, True, "mamba"), (1, True, "mamba"),
     (8, False, "mamba2"), (4, True, "mamba2"),
+    (8, False, "mamba_s4"), (4, True, "mamba_s4"),
 ])
 def test_sp_denoise_matches_streaming(n_dev, normalize, bottleneck):
     assert jax.device_count() >= n_dev

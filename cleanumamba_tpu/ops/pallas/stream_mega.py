@@ -1,0 +1,413 @@
+"""Whole-frame streaming step as ONE Pallas kernel (small released models).
+
+The block=1 streaming step of the released checkpoints (~0.4-1.7 MB of
+weights) is dispatch-bound: the XLA step issues ~50 kernels whose combined
+launch cost dwarfs both the weight DMA (~1 µs at HBM speed) and the
+arithmetic (docs/performance.md "Where the next factor comes from").  This
+module lowers the ENTIRE frame — all encoder levels, the mamba bottleneck
+stack, all decoder levels, every streaming cache update — into one
+``pallas_call``: weights ride in two flat VMEM buffers DMA'd once, and the
+only XLA work left per frame is the normalization EMA prologue/epilogue
+(4 trivial ops).
+
+Mosaic-safety rules the kernel follows (learned in this repo — see
+CLAUDE.md and docs/performance.md "TPU lessons"):
+
+- NO lane-dimension slicing at nonzero offsets: every channel split (GLU
+  halves, mamba in_proj/x_proj splits, convT lo/hi taps) is pre-split into
+  separate matrices at pack time.
+- NO strided sublane slicing and NO lane<->sublane reshapes: the strided
+  conv windowing and the decoder's grouped->token ungrouping are expressed
+  as matmuls against constant one-hot SELECTION matrices (MXU time at
+  these sizes is free):
+    encoder:  y_t = Σ_{j<K} x[S·t+j] @ W_j
+            = Σ_{j<K} (P_{j mod S} @ x[S·(j div S):][:S·T]) @ W_j
+      with P_r (T, S·T) selecting rows S·t+r — only S distinct patterns;
+      the j div S shift is a contiguous slice.
+    decoder:  token-major x' (S·T, Cout) from grouped z (T, S·Cout):
+      x' = Σ_s P_sᵀ @ (z @ R_s)  with R_s (S·Cout, Cout) one-hot; P_sᵀ is
+      stored pre-transposed (lanes = T ≤ 128).
+- Zero-length arrays are invalid: empty caches (the last encoder level)
+  never cross the kernel boundary, and T==1 shift slices are
+  compile-time-guarded (meta carries the static lengths).
+- No 1-D intermediates (1-D iota does not lower; vectors keep a (1, N) or
+  (N, 1) 2-D shape throughout).
+
+Applicability (pack_mega returns None otherwise): bottleneck == "mamba",
+K == 2·S, bypass == 0, groups == 1, every weight matrix ≤128 lanes, and
+total packed bytes within the VMEM budget — i.e. the released CleanUMamba
+geometry (d_model 64, d_inner 128, channels ≤64), full and pruned.  The
+41M E8-full config exceeds the lane bound and stays on the per-level
+fused path (stream_fused.py).
+
+Semantics are bit-for-bit `streaming.stream_step`'s (same cache layouts,
+same bias-sans-tail decoder caching, reference CleanUMamba.py:420-484);
+equivalence is pinned by tests/test_stream_mega.py in interpret mode and
+by the on-chip drive.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from cleanumamba_tpu.ops.pallas.stream_fused import _ACTS
+
+_LANE = 128
+_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+# --------------------------------------------------------------------------
+# Flat weight buffers: many tiny matrices -> two (N, 128) refs
+# --------------------------------------------------------------------------
+
+class _Flat:
+    """Accumulates 2-D matrices (lanes ≤ 128) into one (N, 128) buffer;
+    records static (offset, rows, cols) slices for the kernel."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+        self.rows = []
+        self.slices = {}
+        self.off = 0
+
+    def add(self, name, arr):
+        arr = jnp.asarray(arr)
+        if arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        assert arr.ndim == 2 and arr.shape[1] <= _LANE, (name, arr.shape)
+        r, c = arr.shape
+        self.rows.append(jnp.pad(arr.astype(self.dtype),
+                                 ((0, 0), (0, _LANE - c))))
+        self.slices[name] = (self.off, r, c)
+        self.off += r
+
+    def finalize(self):
+        return jnp.concatenate(self.rows, axis=0) if self.rows else \
+            jnp.zeros((1, _LANE), self.dtype)
+
+
+class _FlatView:
+    def __init__(self, ref, slices):
+        self.buf = ref[...]
+        self.slices = slices
+
+    def __call__(self, name):
+        o, r, c = self.slices[name]
+        return self.buf[o:o + r, :c]
+
+
+def _selection(T, stride, phase, length):
+    """One-hot (T, length) matrix selecting rows stride*t + phase."""
+    m = np.zeros((T, length), np.float32)
+    m[np.arange(T), stride * np.arange(T) + phase] = 1.0
+    return m
+
+
+# --------------------------------------------------------------------------
+# Packing
+# --------------------------------------------------------------------------
+
+def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
+    """Pack the whole model for :func:`mega_stream_step`.
+
+    Returns (arrays, meta) or None when the model doesn't meet the kernel's
+    static constraints (callers keep the per-level / XLA paths).
+    """
+    from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
+    from cleanumamba_tpu.streaming import _level_lengths, _level_strides
+
+    K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
+    if (cfg.bottleneck != "mamba" or K != 2 * S
+            or any(cfg.bypass_of_layer(i) != 0 for i in range(D))
+            or any(cfg.group_of_layer(i) != 1 for i in range(D))):
+        return None
+    lens, strides = _level_lengths(cfg), _level_strides(cfg)
+    if lens[-1] != 1:
+        return None
+
+    cdt = compute_dtype
+    W = _Flat(cdt)          # compute-dtype weights (+ narrow selections)
+    F = _Flat(jnp.float32)  # fp32 biases / norms / A / D
+    wide = []               # selection matrices wider than 128 lanes
+    wide_ix = {}
+
+    def add_sel(name, mat):
+        if mat.shape[1] <= _LANE:
+            W.add(name, jnp.asarray(mat, cdt))
+        else:
+            wide_ix[name] = len(wide)
+            wide.append(jnp.asarray(mat, cdt))
+
+    try:
+        enc_meta = []
+        for i, ep in enumerate(params["encoder"]):
+            Kw, Cin, C = ep["conv_w"].shape
+            C2 = ep["mix_w"].shape[-1]
+            T = strides[i]
+            for j in range(Kw):
+                W.add(f"e{i}cw{j}", ep["conv_w"][j])
+            F.add(f"e{i}cb", ep["conv_b"])
+            mw = ep["mix_w"].reshape(-1, C2)
+            W.add(f"e{i}mwa", mw[:, :C2 // 2])
+            W.add(f"e{i}mwb", mw[:, C2 // 2:])
+            mb = ep["mix_b"].reshape(1, -1)
+            F.add(f"e{i}mba", mb[:, :C2 // 2])
+            F.add(f"e{i}mbb", mb[:, C2 // 2:])
+            for r in range(S):
+                add_sel(f"e{i}P{r}", _selection(T, S, r, S * T))
+            suffix_len = K + S * (T - 1)
+            enc_meta.append(dict(T=T, Cin=Cin, C=C, C2=C2,
+                                 suffix=suffix_len, cache=lens[i] - T))
+
+        d_model = cfg.tsfm_d_model
+        W.add("c1w", params["tsfm_conv1"]["w"][0])
+        F.add("c1b", params["tsfm_conv1"]["b"])
+        W.add("c2w", params["tsfm_conv2"]["w"][0])
+        F.add("c2b", params["tsfm_conv2"]["b"])
+        bott_meta = []
+        for li, lp in enumerate(params["bottleneck"]["layers"]):
+            p = lp["mixer"]
+            _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+            W.add(f"m{li}ina", p["in_proj"][:, :d_inner])
+            W.add(f"m{li}inb", p["in_proj"][:, d_inner:])
+            W.add(f"m{li}cw", p["conv_w"])
+            F.add(f"m{li}cb", p["conv_b"])
+            W.add(f"m{li}xdt", p["x_proj"][:, :dt_rank])
+            W.add(f"m{li}xB", p["x_proj"][:, dt_rank:dt_rank + d_state])
+            W.add(f"m{li}xC", p["x_proj"][:, dt_rank + d_state:])
+            W.add(f"m{li}dtw", p["dt_proj_w"])
+            F.add(f"m{li}dtb", p["dt_proj_b"])
+            F.add(f"m{li}A", -jnp.exp(p["A_log"].astype(jnp.float32)))
+            F.add(f"m{li}D", p["D"])
+            W.add(f"m{li}out", p["out_proj"])
+            F.add(f"m{li}ns", lp["norm"]["scale"])
+            if not cfg.rms_norm:
+                F.add(f"m{li}nb", lp["norm"]["bias"])
+            bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
+                                  dt_rank=dt_rank, d_conv=d_conv))
+        F.add("nfs", params["bottleneck"]["norm_f"]["scale"])
+        if not cfg.rms_norm:
+            F.add("nfb", params["bottleneck"]["norm_f"]["bias"])
+
+        dec_meta = []
+        for j, dp in enumerate(params["decoder"]):
+            enc_i = D - 1 - j
+            Kw, C, Cout = dp["convt_w"].shape
+            C2 = dp["mix_w"].shape[-1]
+            T = S ** j
+            mw = dp["mix_w"].reshape(-1, C2)
+            W.add(f"d{j}mwa", mw[:, :C2 // 2])
+            W.add(f"d{j}mwb", mw[:, C2 // 2:])
+            mb = dp["mix_b"].reshape(1, -1)
+            F.add(f"d{j}mba", mb[:, :C2 // 2])
+            F.add(f"d{j}mbb", mb[:, C2 // 2:])
+            ct = jnp.transpose(dp["convt_w"], (1, 0, 2)).reshape(C, Kw * Cout)
+            half = S * Cout
+            W.add(f"d{j}cwlo", ct[:, :half])
+            W.add(f"d{j}cwhi", ct[:, half:])
+            F.add(f"d{j}cb", jnp.tile(dp["convt_b"].reshape(1, Cout), (1, S)))
+            # ungroup: x'(S·T, Cout) = Σ_s P_sᵀ @ (z @ R_s); store Pᵀ
+            # directly (lanes = T ≤ 128 always)
+            for s in range(S):
+                R = np.zeros((S * Cout, Cout), np.float32)
+                R[s * Cout + np.arange(Cout), np.arange(Cout)] = 1.0
+                W.add(f"d{j}R{s}", jnp.asarray(R, cdt))
+                W.add(f"d{j}Qt{s}",
+                      jnp.asarray(_selection(T, S, s, S * T).T, cdt))
+            dec_meta.append(dict(T=T, C=C, C2=C2, Cout=Cout, enc_i=enc_i))
+    except AssertionError:
+        return None  # a matrix exceeded 128 lanes -> not a mega model
+
+    bufW, bufF = W.finalize(), F.finalize()
+    total = bufW.size * bufW.dtype.itemsize + bufF.size * 4 + \
+        sum(w.size * w.dtype.itemsize for w in wide)
+    if total > _VMEM_BUDGET:
+        return None
+
+    arrays = [bufW, bufF] + wide
+    meta = dict(
+        K=K, S=S, D=D, lens=tuple(lens), strides=tuple(strides),
+        d_model=d_model, act=cfg.glu_activation, rms=cfg.rms_norm,
+        eps=cfg.norm_epsilon, cdt=cdt,
+        enc=tuple(enc_meta), bott=tuple(bott_meta), dec=tuple(dec_meta),
+        slicesW=dict(W.slices), slicesF=dict(F.slices), wide=dict(wide_ix),
+    )
+    return arrays, meta
+
+
+# --------------------------------------------------------------------------
+# Kernel
+# --------------------------------------------------------------------------
+
+def _norm(x, scale, bias, rms, eps):
+    xf = x.astype(jnp.float32)
+    if rms:
+        inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        return xf * inv * scale
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _mega_kernel(*refs, meta, batch):
+    S, D = meta["S"], meta["D"]
+    cdt = meta["cdt"]
+    act = _ACTS[meta["act"]]
+    n_bott = len(meta["bott"])
+    enc_io = [i for i, em in enumerate(meta["enc"]) if em["cache"] > 0]
+
+    it = iter(refs)
+    x_ref = next(it)
+    w = _FlatView(next(it), meta["slicesW"])
+    f = _FlatView(next(it), meta["slicesF"])
+    wide = [next(it)[...] for _ in range(len(meta["wide"]))]
+    enc_cache_refs = {i: next(it) for i in enc_io}
+    dec_prev_refs = [next(it) for _ in range(D)]
+    conv_refs = [next(it) for _ in range(n_bott)]
+    ssm_refs = [next(it) for _ in range(n_bott)]
+    out_ref = next(it)
+    enc_out_refs = {i: next(it) for i in enc_io}
+    dec_out_refs = [next(it) for _ in range(D)]
+    conv_out_refs = [next(it) for _ in range(n_bott)]
+    ssm_out_refs = [next(it) for _ in range(n_bott)]
+
+    def sel(name):
+        return wide[meta["wide"][name]] if name in meta["wide"] else w(name)
+
+    def dot(a, b):
+        prec = "highest" if cdt == jnp.float32 else None
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+
+    for b in range(batch):
+        xp = x_ref[b].astype(cdt)  # (frame_length, 1)
+        skips = []
+        for i, em in enumerate(meta["enc"]):
+            T = em["T"]
+            suffix = xp[xp.shape[0] - em["suffix"]:]
+            h = None
+            for j in range(meta["K"]):
+                shift = (j // S) * S
+                xs = suffix[shift: shift + S * T]
+                term = dot(dot(sel(f"e{i}P{j % S}"), xs).astype(cdt),
+                           w(f"e{i}cw{j}"))
+                h = term if h is None else h + term
+            h = jax.nn.relu(h + f(f"e{i}cb")).astype(cdt)
+            g = ((dot(h, w(f"e{i}mwa")) + f(f"e{i}mba"))
+                 * act(dot(h, w(f"e{i}mwb")) + f(f"e{i}mbb"))).astype(cdt)
+            if em["cache"] > 0:
+                full = jnp.concatenate(
+                    [enc_cache_refs[i][b].astype(cdt), g], axis=0)
+                enc_out_refs[i][b] = full[T:].astype(enc_out_refs[i].dtype)
+            else:
+                full = g
+            skips.append(full)
+            xp = full
+
+        # bottleneck: exactly streaming._bottleneck_step on 1 token
+        t = dot(skips[-1][-1:].astype(cdt), w("c1w")) + f("c1b")  # (1, dm)
+        hidden, residual = t, jnp.zeros_like(t)
+        for li, bm in enumerate(meta["bott"]):
+            residual = hidden + residual
+            hb = _norm(residual, f(f"m{li}ns"),
+                       None if meta["rms"] else f(f"m{li}nb"),
+                       meta["rms"], meta["eps"]).astype(cdt)
+            xs = dot(hb, w(f"m{li}ina")).astype(cdt)   # (1, d_inner)
+            zg = dot(hb, w(f"m{li}inb")).astype(cdt)
+            cs = jnp.concatenate(
+                [conv_refs[li][b][1:].astype(cdt), xs], axis=0)
+            conv_out_refs[li][b] = cs.astype(conv_out_refs[li].dtype)
+            xc = jnp.sum(cs * w(f"m{li}cw").astype(cdt), axis=0,
+                         keepdims=True) + f(f"m{li}cb").astype(cdt)
+            xc = jax.nn.silu(xc).astype(cdt)            # (1, d_inner)
+            dtr = dot(xc, w(f"m{li}xdt")).astype(cdt)   # (1, dt_rank)
+            Bv = dot(xc, w(f"m{li}xB"))                 # (1, d_state) fp32
+            Cv = dot(xc, w(f"m{li}xC"))
+            dt = jax.nn.softplus(dot(dtr, w(f"m{li}dtw")) + f(f"m{li}dtb"))
+            A = f(f"m{li}A")                            # (d_inner, d_state)
+            hstate = ssm_refs[li][b].astype(jnp.float32)  # (d_inner, d_state)
+            dt_col = jnp.transpose(dt)                  # (d_inner, 1)
+            xc_col = jnp.transpose(xc.astype(jnp.float32))
+            hstate = jnp.exp(dt_col * A) * hstate + (dt_col * xc_col) * Bv
+            ssm_out_refs[li][b] = hstate.astype(ssm_out_refs[li].dtype)
+            y_col = dot(hstate, jnp.transpose(Cv))      # (d_inner, 1)
+            y = jnp.transpose(y_col) + xc.astype(jnp.float32) * f(f"m{li}D")
+            y = (y.astype(cdt) * jax.nn.silu(zg))       # (1, d_inner)
+            hidden = dot(y, w(f"m{li}out")).astype(jnp.float32)
+        residual = hidden + residual
+        tok = _norm(residual, f("nfs"), None if meta["rms"] else f("nfb"),
+                    meta["rms"], meta["eps"]).astype(cdt)
+        xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)  # (1, C_last)
+
+        for j, dm in enumerate(meta["dec"]):
+            T = dm["T"]
+            xd = xd + skips[dm["enc_i"]][:T].astype(cdt)
+            g = ((dot(xd, w(f"d{j}mwa")) + f(f"d{j}mba"))
+                 * act(dot(xd, w(f"d{j}mwb")) + f(f"d{j}mbb"))).astype(cdt)
+            lo = dot(g, w(f"d{j}cwlo"))                 # (T, S·Cout) fp32
+            hi = dot(g, w(f"d{j}cwhi"))
+            prev = dec_prev_refs[j][b].astype(jnp.float32)  # (1, S·Cout)
+            shifted = jnp.concatenate([prev, hi[:T - 1]], axis=0) \
+                if T > 1 else prev
+            z = lo + shifted + f(f"d{j}cb")
+            if j != D - 1:
+                z = jax.nn.relu(z)
+            dec_out_refs[j][b] = hi[T - 1:T].astype(dec_out_refs[j].dtype)
+            z = z.astype(cdt)
+            xd = None
+            for s in range(S):
+                term = dot(w(f"d{j}Qt{s}"),
+                           dot(z, w(f"d{j}R{s}")).astype(cdt)).astype(cdt)
+                xd = term if xd is None else xd + term
+        out_ref[b] = xd[:, :1].astype(out_ref.dtype)
+
+
+def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
+    """One whole-frame step.  x_norm: (B, frame_length, 1) normalized input;
+    state: the streaming state pytree (the canonical `streaming.py`
+    layouts).  Returns (state_updates, out (B, total_stride)) where
+    state_updates carries enc/dec/bottleneck (the caller merges the
+    normalization scalars itself).
+
+    Zero-length encoder caches (the last level) never cross the kernel
+    boundary; the decoder caches cross it in GROUPED (B, 1, S·Cout) layout
+    — the (B, S, Cout) <-> grouped fold is a lane<->sublane reshape XLA
+    does for free but Mosaic cannot, so it happens out here."""
+    B = x_norm.shape[0]
+    S, D = meta["S"], meta["D"]
+    ts = S ** D
+    enc_io = [i for i, em in enumerate(meta["enc"]) if em["cache"] > 0]
+
+    enc = [state["enc"][i] for i in enc_io]
+    dec_g = [d.reshape(B, 1, -1) for d in state["dec"]]
+    conv = [c["conv_state"] for c in state["bottleneck"]]
+    ssm = [c["ssm_state"] for c in state["bottleneck"]]
+
+    args = [x_norm, arrays[0], arrays[1], *arrays[2:], *enc, *dec_g,
+            *conv, *ssm]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((B, ts, 1), x_norm.dtype)]
+        + [jax.ShapeDtypeStruct(e.shape, e.dtype) for e in enc]
+        + [jax.ShapeDtypeStruct(d.shape, d.dtype) for d in dec_g]
+        + [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in conv]
+        + [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in ssm]
+    )
+    kernel = functools.partial(_mega_kernel, meta=meta, batch=B)
+    outs = pl.pallas_call(kernel, out_shape=tuple(out_shapes),
+                          interpret=interpret)(*args)
+    out = outs[0]
+    n_io = len(enc_io)
+    enc_n = list(state["enc"])
+    for k, i in enumerate(enc_io):
+        enc_n[i] = outs[1 + k]
+    dec_n = [d.reshape(B, S, -1)
+             for d in outs[1 + n_io:1 + n_io + D]]
+    conv_n = outs[1 + n_io + D:1 + n_io + D + len(conv)]
+    ssm_n = outs[1 + n_io + D + len(conv):]
+    bott = [{"conv_state": c, "ssm_state": s} for c, s in zip(conv_n, ssm_n)]
+    return {"enc": enc_n, "dec": dec_n, "bottleneck": bott}, out[:, :, 0]

@@ -296,6 +296,38 @@ def stream_step(params, cfg: CleanUMambaConfig, state, new_samples,
     return new_state, out
 
 
+def stream_step_mega(cfg: CleanUMambaConfig, state, new_samples, mega,
+                     dtype=jnp.float32, interpret=False):
+    """Whole-frame step through the single Pallas mega-kernel
+    (ops/pallas/stream_mega.py) — semantics identical to
+    :func:`stream_step`; only the normalization EMA prologue/epilogue stays
+    in XLA.  ``mega``: (arrays, meta) from ``pack_mega``."""
+    from cleanumamba_tpu.ops.pallas.stream_mega import mega_stream_step
+
+    arrays, meta = mega
+    frame = jnp.concatenate([state["input_tail"], new_samples], axis=1)
+    frames = state["frames"] + 1
+    if cfg.normalize_input:
+        std_now = jnp.std(frame.astype(jnp.float32), axis=1, keepdims=True) + 1e-3
+        inv_n = 1.0 / frames.astype(jnp.float32)
+        input_std = std_now * inv_n + (1.0 - inv_n) * state["input_std"]
+        x = (frame[..., None] / input_std[..., None]).astype(dtype)
+    else:
+        input_std = state["input_std"]
+        x = frame[..., None].astype(dtype)
+
+    upd, out = mega_stream_step(x, state, arrays, meta, interpret=interpret)
+    if cfg.normalize_input:
+        out = out * input_std.astype(out.dtype)
+    new_state = {
+        "input_tail": frame[:, cfg.total_stride:],
+        "input_std": input_std,
+        "frames": frames,
+        **upd,
+    }
+    return new_state, out
+
+
 def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
     """Run N bottleneck tokens with carried state.  x: (B, N, d_model).
 
@@ -592,10 +624,23 @@ class Streamer:
             fused = pallas_available() and weights != "int8"
         self._pack_arrays = None
         pack_meta = None
-        if fused:
+        mega_meta = None
+        cdt = jnp.float32 if weights == "fp32" else jnp.bfloat16
+        if fused == "mega":
+            # Whole-frame single-kernel path (small released models; see
+            # ops/pallas/stream_mega.py).  Packs from the dense view so
+            # int8/bf16 storage modes work too.
+            from cleanumamba_tpu.ops.pallas.stream_mega import pack_mega
+
+            mega = pack_mega(view(self.params), cfg, cdt)
+            if mega is None:
+                raise ValueError(
+                    "fused='mega': model does not meet the mega-kernel's "
+                    "static constraints (see pack_mega)")
+            self._pack_arrays, mega_meta = mega
+        elif fused:
             from cleanumamba_tpu.ops.pallas.stream_fused import pack_stream_params
 
-            cdt = jnp.float32 if weights == "fp32" else jnp.bfloat16
             # Measured policy (docs/performance.md block=1 table): fp32 fuses
             # every level that fits VMEM (XLA's fp32 smalls are slowest);
             # bf16 fuses only dispatch-bound small levels — XLA already wins
@@ -604,13 +649,21 @@ class Streamer:
             self._pack_arrays, pack_meta = pack_stream_params(
                 self.params, cfg, cdt, budget=budget)
         self._prime = jax.jit(lambda p, f: stream_prime(view(p), cfg, f, dtype))
-        self._step = jax.jit(
-            lambda p, s, n, pa: stream_step(
-                view(p), cfg, s, n, dtype,
-                packs=(pa, pack_meta) if pack_meta is not None else None,
-                interpret=fused_interpret,
+        if mega_meta is not None:
+            self._step = jax.jit(
+                lambda p, s, n, pa: stream_step_mega(
+                    cfg, s, n, (pa, mega_meta), dtype,
+                    interpret=fused_interpret,
+                )
             )
-        )
+        else:
+            self._step = jax.jit(
+                lambda p, s, n, pa: stream_step(
+                    view(p), cfg, s, n, dtype,
+                    packs=(pa, pack_meta) if pack_meta is not None else None,
+                    interpret=fused_interpret,
+                )
+            )
         # block step: all frames available in a feed() run as ONE parallel
         # block (weights read once per block, not once per frame) — see
         # stream_step_block / docs/performance.md

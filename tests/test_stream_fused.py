@@ -56,6 +56,20 @@ def test_pack_applicability(params):
     assert all(m is not None for m in meta["dec"])
 
 
+def test_streamer_auto_policy(params, monkeypatch):
+    """The measured default policy (docs/performance.md block=1 table):
+    int8 stays on XLA even where Pallas is available (fused in-register
+    dequant loses at streaming sizes); fp32 packs.  Guards the 'auto'
+    wiring."""
+    from cleanumamba_tpu.ops.pallas import selective_scan as ss
+
+    monkeypatch.setattr(ss, "pallas_available", lambda: True)
+    s8 = Streamer(params, CFG, weights="int8", fused="auto")
+    assert s8._pack_arrays is None
+    s32 = Streamer(params, CFG, weights="fp32", fused="auto")
+    assert s32._pack_arrays is not None
+
+
 def test_pack_applicability_ragged():
     """A pruned-checkpoint-shaped model (odd channel widths) still packs."""
     cfg = CleanUMambaConfig(

@@ -133,15 +133,25 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
     cdt = compute_dtype
     W = _Flat(cdt)          # compute-dtype weights (+ narrow selections)
     F = _Flat(jnp.float32)  # fp32 biases / norms / A / D
-    wide = []               # selection matrices wider than 128 lanes
-    wide_ix = {}
+    wide = []               # anything wider than 128 lanes rides as its
+    wide_ix = {}            # own ref (pruned Cout>64 convT splits, level-0
+                            # selections)
 
-    def add_sel(name, mat):
-        if mat.shape[1] <= _LANE:
-            W.add(name, jnp.asarray(mat, cdt))
+    def _add(flat, name, arr):
+        arr = jnp.asarray(arr, flat.dtype)
+        if arr.ndim == 1:
+            arr = arr.reshape(1, -1)
+        if arr.shape[1] <= _LANE:
+            flat.add(name, arr)
         else:
             wide_ix[name] = len(wide)
-            wide.append(jnp.asarray(mat, cdt))
+            wide.append(arr)
+
+    def addW(name, arr):
+        _add(W, name, arr)
+
+    def addF(name, arr):
+        _add(F, name, arr)
 
     try:
         enc_meta = []
@@ -150,49 +160,49 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
             C2 = ep["mix_w"].shape[-1]
             T = strides[i]
             for j in range(Kw):
-                W.add(f"e{i}cw{j}", ep["conv_w"][j])
-            F.add(f"e{i}cb", ep["conv_b"])
+                addW(f"e{i}cw{j}", ep["conv_w"][j])
+            addF(f"e{i}cb", ep["conv_b"])
             mw = ep["mix_w"].reshape(-1, C2)
-            W.add(f"e{i}mwa", mw[:, :C2 // 2])
-            W.add(f"e{i}mwb", mw[:, C2 // 2:])
+            addW(f"e{i}mwa", mw[:, :C2 // 2])
+            addW(f"e{i}mwb", mw[:, C2 // 2:])
             mb = ep["mix_b"].reshape(1, -1)
-            F.add(f"e{i}mba", mb[:, :C2 // 2])
-            F.add(f"e{i}mbb", mb[:, C2 // 2:])
+            addF(f"e{i}mba", mb[:, :C2 // 2])
+            addF(f"e{i}mbb", mb[:, C2 // 2:])
             for r in range(S):
-                add_sel(f"e{i}P{r}", _selection(T, S, r, S * T))
+                addW(f"e{i}P{r}", _selection(T, S, r, S * T))
             suffix_len = K + S * (T - 1)
             enc_meta.append(dict(T=T, Cin=Cin, C=C, C2=C2,
                                  suffix=suffix_len, cache=lens[i] - T))
 
         d_model = cfg.tsfm_d_model
-        W.add("c1w", params["tsfm_conv1"]["w"][0])
-        F.add("c1b", params["tsfm_conv1"]["b"])
-        W.add("c2w", params["tsfm_conv2"]["w"][0])
-        F.add("c2b", params["tsfm_conv2"]["b"])
+        addW("c1w", params["tsfm_conv1"]["w"][0])
+        addF("c1b", params["tsfm_conv1"]["b"])
+        addW("c2w", params["tsfm_conv2"]["w"][0])
+        addF("c2b", params["tsfm_conv2"]["b"])
         bott_meta = []
         for li, lp in enumerate(params["bottleneck"]["layers"]):
             p = lp["mixer"]
             _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
-            W.add(f"m{li}ina", p["in_proj"][:, :d_inner])
-            W.add(f"m{li}inb", p["in_proj"][:, d_inner:])
-            W.add(f"m{li}cw", p["conv_w"])
-            F.add(f"m{li}cb", p["conv_b"])
-            W.add(f"m{li}xdt", p["x_proj"][:, :dt_rank])
-            W.add(f"m{li}xB", p["x_proj"][:, dt_rank:dt_rank + d_state])
-            W.add(f"m{li}xC", p["x_proj"][:, dt_rank + d_state:])
-            W.add(f"m{li}dtw", p["dt_proj_w"])
-            F.add(f"m{li}dtb", p["dt_proj_b"])
-            F.add(f"m{li}A", -jnp.exp(p["A_log"].astype(jnp.float32)))
-            F.add(f"m{li}D", p["D"])
-            W.add(f"m{li}out", p["out_proj"])
-            F.add(f"m{li}ns", lp["norm"]["scale"])
+            addW(f"m{li}ina", p["in_proj"][:, :d_inner])
+            addW(f"m{li}inb", p["in_proj"][:, d_inner:])
+            addW(f"m{li}cw", p["conv_w"])
+            addF(f"m{li}cb", p["conv_b"])
+            addW(f"m{li}xdt", p["x_proj"][:, :dt_rank])
+            addW(f"m{li}xB", p["x_proj"][:, dt_rank:dt_rank + d_state])
+            addW(f"m{li}xC", p["x_proj"][:, dt_rank + d_state:])
+            addW(f"m{li}dtw", p["dt_proj_w"])
+            addF(f"m{li}dtb", p["dt_proj_b"])
+            addF(f"m{li}A", -jnp.exp(p["A_log"].astype(jnp.float32)))
+            addF(f"m{li}D", p["D"])
+            addW(f"m{li}out", p["out_proj"])
+            addF(f"m{li}ns", lp["norm"]["scale"])
             if not cfg.rms_norm:
-                F.add(f"m{li}nb", lp["norm"]["bias"])
+                addF(f"m{li}nb", lp["norm"]["bias"])
             bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
                                   dt_rank=dt_rank, d_conv=d_conv))
-        F.add("nfs", params["bottleneck"]["norm_f"]["scale"])
+        addF("nfs", params["bottleneck"]["norm_f"]["scale"])
         if not cfg.rms_norm:
-            F.add("nfb", params["bottleneck"]["norm_f"]["bias"])
+            addF("nfb", params["bottleneck"]["norm_f"]["bias"])
 
         dec_meta = []
         for j, dp in enumerate(params["decoder"]):
@@ -201,27 +211,27 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
             C2 = dp["mix_w"].shape[-1]
             T = S ** j
             mw = dp["mix_w"].reshape(-1, C2)
-            W.add(f"d{j}mwa", mw[:, :C2 // 2])
-            W.add(f"d{j}mwb", mw[:, C2 // 2:])
+            addW(f"d{j}mwa", mw[:, :C2 // 2])
+            addW(f"d{j}mwb", mw[:, C2 // 2:])
             mb = dp["mix_b"].reshape(1, -1)
-            F.add(f"d{j}mba", mb[:, :C2 // 2])
-            F.add(f"d{j}mbb", mb[:, C2 // 2:])
+            addF(f"d{j}mba", mb[:, :C2 // 2])
+            addF(f"d{j}mbb", mb[:, C2 // 2:])
             ct = jnp.transpose(dp["convt_w"], (1, 0, 2)).reshape(C, Kw * Cout)
             half = S * Cout
-            W.add(f"d{j}cwlo", ct[:, :half])
-            W.add(f"d{j}cwhi", ct[:, half:])
-            F.add(f"d{j}cb", jnp.tile(dp["convt_b"].reshape(1, Cout), (1, S)))
+            addW(f"d{j}cwlo", ct[:, :half])
+            addW(f"d{j}cwhi", ct[:, half:])
+            addF(f"d{j}cb", jnp.tile(dp["convt_b"].reshape(1, Cout), (1, S)))
             # ungroup: x'(S·T, Cout) = Σ_s P_sᵀ @ (z @ R_s); store Pᵀ
             # directly (lanes = T ≤ 128 always)
             for s in range(S):
                 R = np.zeros((S * Cout, Cout), np.float32)
                 R[s * Cout + np.arange(Cout), np.arange(Cout)] = 1.0
-                W.add(f"d{j}R{s}", jnp.asarray(R, cdt))
-                W.add(f"d{j}Qt{s}",
+                addW(f"d{j}R{s}", jnp.asarray(R, cdt))
+                addW(f"d{j}Qt{s}",
                       jnp.asarray(_selection(T, S, s, S * T).T, cdt))
             dec_meta.append(dict(T=T, C=C, C2=C2, Cout=Cout, enc_i=enc_i))
     except AssertionError:
-        return None  # a matrix exceeded 128 lanes -> not a mega model
+        return None  # unexpected shape -> not a mega model
 
     bufW, bufF = W.finalize(), F.finalize()
     total = bufW.size * bufW.dtype.itemsize + bufF.size * 4 + \
@@ -263,9 +273,15 @@ def _mega_kernel(*refs, meta, batch):
 
     it = iter(refs)
     x_ref = next(it)
-    w = _FlatView(next(it), meta["slicesW"])
-    f = _FlatView(next(it), meta["slicesF"])
+    wV = _FlatView(next(it), meta["slicesW"])
+    fV = _FlatView(next(it), meta["slicesF"])
     wide = [next(it)[...] for _ in range(len(meta["wide"]))]
+
+    def w(name):  # wide matrices (lanes > 128) ride as their own refs
+        return wide[meta["wide"][name]] if name in meta["wide"] else wV(name)
+
+    def f(name):
+        return wide[meta["wide"][name]] if name in meta["wide"] else fV(name)
     enc_cache_refs = {i: next(it) for i in enc_io}
     dec_prev_refs = [next(it) for _ in range(D)]
     conv_refs = [next(it) for _ in range(n_bott)]
@@ -276,8 +292,6 @@ def _mega_kernel(*refs, meta, batch):
     conv_out_refs = [next(it) for _ in range(n_bott)]
     ssm_out_refs = [next(it) for _ in range(n_bott)]
 
-    def sel(name):
-        return wide[meta["wide"][name]] if name in meta["wide"] else w(name)
 
     def dot(a, b):
         prec = "highest" if cdt == jnp.float32 else None
@@ -294,7 +308,7 @@ def _mega_kernel(*refs, meta, batch):
             for j in range(meta["K"]):
                 shift = (j // S) * S
                 xs = suffix[shift: shift + S * T]
-                term = dot(dot(sel(f"e{i}P{j % S}"), xs).astype(cdt),
+                term = dot(dot(w(f"e{i}P{j % S}"), xs).astype(cdt),
                            w(f"e{i}cw{j}"))
                 h = term if h is None else h + term
             h = jax.nn.relu(h + f(f"e{i}cb")).astype(cdt)

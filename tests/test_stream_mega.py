@@ -74,6 +74,24 @@ def test_mega_step_equals_xla(params, normalize):
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_mega_bf16_tracks_fp32(params):
+    """bf16 packs track the fp32 step within bf16 tolerance (the latency
+    configuration on chip)."""
+    mega = pack_mega(params, CFG, jnp.bfloat16)
+    assert mega is not None
+    rng = np.random.default_rng(2)
+    fl, ts = CFG.frame_length, CFG.total_stride
+    x = (rng.normal(size=(1, fl + 3 * ts)) * 0.3).astype(np.float32)
+    st_r, _ = stream_prime(params, CFG, jnp.asarray(x[:, :fl]))
+    st_m = st_r
+    for t in range(3):
+        new = jnp.asarray(x[:, fl + t * ts: fl + (t + 1) * ts])
+        st_r, yr = stream_step(params, CFG, st_r, new)
+        st_m, ym = stream_step_mega(CFG, st_m, new, mega, interpret=True)
+    scale = float(jnp.abs(yr).max()) + 1e-9
+    assert float(jnp.abs(ym - yr).max()) / scale < 0.05
+
+
 def test_streamer_mega_offline_equivalence(params):
     """fused='mega' Streamer matches the offline forward (the reference's
     own streaming invariant, CleanUMamba.py:568-591)."""

@@ -33,7 +33,9 @@ CLAUDE.md and docs/performance.md "TPU lessons"):
 - No 1-D intermediates (1-D iota does not lower; vectors keep a (1, N) or
   (N, 1) 2-D shape throughout).
 
-Applicability (pack_mega returns None otherwise): bottleneck == "mamba",
+Applicability (pack_mega returns None otherwise): bottleneck "mamba" or
+"mamba2" (the SSD step runs with lane-split conv caches and one-hot
+head-expansion matmuls),
 K == 2·S, bypass == 0, groups == 1, every weight matrix ≤128 lanes, and
 total packed bytes within the VMEM budget — i.e. the released CleanUMamba
 geometry (d_model 64, d_inner 128, channels ≤64), full and pruned.  The
@@ -122,7 +124,7 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
     from cleanumamba_tpu.streaming import _level_lengths, _level_strides
 
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
-    if (cfg.bottleneck != "mamba" or K != 2 * S
+    if (cfg.bottleneck not in ("mamba", "mamba2") or K != 2 * S
             or any(cfg.bypass_of_layer(i) != 0 for i in range(D))
             or any(cfg.group_of_layer(i) != 1 for i in range(D))):
         return None
@@ -182,24 +184,66 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
         bott_meta = []
         for li, lp in enumerate(params["bottleneck"]["layers"]):
             p = lp["mixer"]
-            _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
-            addW(f"m{li}ina", p["in_proj"][:, :d_inner])
-            addW(f"m{li}inb", p["in_proj"][:, d_inner:])
-            addW(f"m{li}cw", p["conv_w"])
-            addF(f"m{li}cb", p["conv_b"])
-            addW(f"m{li}xdt", p["x_proj"][:, :dt_rank])
-            addW(f"m{li}xB", p["x_proj"][:, dt_rank:dt_rank + d_state])
-            addW(f"m{li}xC", p["x_proj"][:, dt_rank + d_state:])
-            addW(f"m{li}dtw", p["dt_proj_w"])
-            addF(f"m{li}dtb", p["dt_proj_b"])
-            addF(f"m{li}A", -jnp.exp(p["A_log"].astype(jnp.float32)))
-            addF(f"m{li}D", p["D"])
-            addW(f"m{li}out", p["out_proj"])
+            if cfg.bottleneck == "mamba":
+                _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+                addW(f"m{li}ina", p["in_proj"][:, :d_inner])
+                addW(f"m{li}inb", p["in_proj"][:, d_inner:])
+                addW(f"m{li}cw", p["conv_w"])
+                addF(f"m{li}cb", p["conv_b"])
+                addW(f"m{li}xdt", p["x_proj"][:, :dt_rank])
+                addW(f"m{li}xB", p["x_proj"][:, dt_rank:dt_rank + d_state])
+                addW(f"m{li}xC", p["x_proj"][:, dt_rank + d_state:])
+                addW(f"m{li}dtw", p["dt_proj_w"])
+                addF(f"m{li}dtb", p["dt_proj_b"])
+                addF(f"m{li}A", -jnp.exp(p["A_log"].astype(jnp.float32)))
+                addF(f"m{li}D", p["D"])
+                addW(f"m{li}out", p["out_proj"])
+                bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
+                                      dt_rank=dt_rank, d_conv=d_conv))
+            else:  # mamba2 (SSD step form)
+                from cleanumamba_tpu.models.bottleneck_mamba2 import (
+                    mixer_geometry,
+                )
+
+                (_, d_inner, d_state, n_heads,
+                 headdim) = mixer_geometry(p)
+                d_conv = p["conv_w"].shape[0]
+                ip = p["in_proj"]
+                # lane splits become separate matrices (no in-kernel
+                # lane slicing); the depthwise conv splits the same way
+                addW(f"m{li}inz", ip[:, :d_inner])
+                addW(f"m{li}inx", ip[:, d_inner:2 * d_inner])
+                addW(f"m{li}inB",
+                     ip[:, 2 * d_inner:2 * d_inner + d_state])
+                addW(f"m{li}inC",
+                     ip[:, 2 * d_inner + d_state:2 * d_inner + 2 * d_state])
+                addW(f"m{li}indt", ip[:, 2 * d_inner + 2 * d_state:])
+                cw, cb = p["conv_w"], p["conv_b"].reshape(1, -1)
+                addW(f"m{li}cwx", cw[:, :d_inner])
+                addW(f"m{li}cwB", cw[:, d_inner:d_inner + d_state])
+                addW(f"m{li}cwC", cw[:, d_inner + d_state:])
+                addF(f"m{li}cbx", cb[:, :d_inner])
+                addF(f"m{li}cbB", cb[:, d_inner:d_inner + d_state])
+                addF(f"m{li}cbC", cb[:, d_inner + d_state:])
+                addF(f"m{li}dtb", p["dt_bias"])
+                # per-head -> per-channel expansion as a one-hot matmul;
+                # A/D expand at pack time (constants)
+                E = np.zeros((n_heads, d_inner), np.float32)
+                E[np.repeat(np.arange(n_heads), headdim),
+                  np.arange(d_inner)] = 1.0
+                addF(f"m{li}E", E)
+                A_head = -jnp.exp(p["A_log"].astype(jnp.float32))
+                addF(f"m{li}A", jnp.repeat(A_head, headdim)[:, None]
+                     * jnp.ones((1, d_state), jnp.float32))
+                addF(f"m{li}D", jnp.repeat(
+                    p["D"].astype(jnp.float32), headdim))
+                addF(f"m{li}nw", p["norm_w"])
+                addW(f"m{li}out", p["out_proj"])
+                bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
+                                      n_heads=n_heads, d_conv=d_conv))
             addF(f"m{li}ns", lp["norm"]["scale"])
             if not cfg.rms_norm:
                 addF(f"m{li}nb", lp["norm"]["bias"])
-            bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
-                                  dt_rank=dt_rank, d_conv=d_conv))
         addF("nfs", params["bottleneck"]["norm_f"]["scale"])
         if not cfg.rms_norm:
             addF("nfb", params["bottleneck"]["norm_f"]["bias"])
@@ -243,7 +287,7 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
     meta = dict(
         K=K, S=S, D=D, lens=tuple(lens), strides=tuple(strides),
         d_model=d_model, act=cfg.glu_activation, rms=cfg.rms_norm,
-        eps=cfg.norm_epsilon, cdt=cdt,
+        eps=cfg.norm_epsilon, cdt=cdt, kind=cfg.bottleneck,
         enc=tuple(enc_meta), bott=tuple(bott_meta), dec=tuple(dec_meta),
         slicesW=dict(W.slices), slicesF=dict(F.slices), wide=dict(wide_ix),
     )
@@ -269,6 +313,8 @@ def _mega_kernel(*refs, meta, batch):
     cdt = meta["cdt"]
     act = _ACTS[meta["act"]]
     n_bott = len(meta["bott"])
+    # mamba2's conv cache crosses the boundary as 3 split arrays per layer
+    n_conv = n_bott * (3 if meta["kind"] == "mamba2" else 1)
     enc_io = [i for i, em in enumerate(meta["enc"]) if em["cache"] > 0]
 
     it = iter(refs)
@@ -284,12 +330,12 @@ def _mega_kernel(*refs, meta, batch):
         return wide[meta["wide"][name]] if name in meta["wide"] else fV(name)
     enc_cache_refs = {i: next(it) for i in enc_io}
     dec_prev_refs = [next(it) for _ in range(D)]
-    conv_refs = [next(it) for _ in range(n_bott)]
+    conv_refs = [next(it) for _ in range(n_conv)]
     ssm_refs = [next(it) for _ in range(n_bott)]
     out_ref = next(it)
     enc_out_refs = {i: next(it) for i in enc_io}
     dec_out_refs = [next(it) for _ in range(D)]
-    conv_out_refs = [next(it) for _ in range(n_bott)]
+    conv_out_refs = [next(it) for _ in range(n_conv)]
     ssm_out_refs = [next(it) for _ in range(n_bott)]
 
 
@@ -331,27 +377,65 @@ def _mega_kernel(*refs, meta, batch):
             hb = _norm(residual, f(f"m{li}ns"),
                        None if meta["rms"] else f(f"m{li}nb"),
                        meta["rms"], meta["eps"]).astype(cdt)
-            xs = dot(hb, w(f"m{li}ina")).astype(cdt)   # (1, d_inner)
-            zg = dot(hb, w(f"m{li}inb")).astype(cdt)
-            cs = jnp.concatenate(
-                [conv_refs[li][b][1:].astype(cdt), xs], axis=0)
-            conv_out_refs[li][b] = cs.astype(conv_out_refs[li].dtype)
-            xc = jnp.sum(cs * w(f"m{li}cw").astype(cdt), axis=0,
-                         keepdims=True) + f(f"m{li}cb").astype(cdt)
-            xc = jax.nn.silu(xc).astype(cdt)            # (1, d_inner)
-            dtr = dot(xc, w(f"m{li}xdt")).astype(cdt)   # (1, dt_rank)
-            Bv = dot(xc, w(f"m{li}xB"))                 # (1, d_state) fp32
-            Cv = dot(xc, w(f"m{li}xC"))
-            dt = jax.nn.softplus(dot(dtr, w(f"m{li}dtw")) + f(f"m{li}dtb"))
-            A = f(f"m{li}A")                            # (d_inner, d_state)
-            hstate = ssm_refs[li][b].astype(jnp.float32)  # (d_inner, d_state)
-            dt_col = jnp.transpose(dt)                  # (d_inner, 1)
-            xc_col = jnp.transpose(xc.astype(jnp.float32))
-            hstate = jnp.exp(dt_col * A) * hstate + (dt_col * xc_col) * Bv
-            ssm_out_refs[li][b] = hstate.astype(ssm_out_refs[li].dtype)
-            y_col = dot(hstate, jnp.transpose(Cv))      # (d_inner, 1)
-            y = jnp.transpose(y_col) + xc.astype(jnp.float32) * f(f"m{li}D")
-            y = (y.astype(cdt) * jax.nn.silu(zg))       # (1, d_inner)
+
+            def scan_step(xc, Bv, Cv, dt):
+                """h' = exp(dt·A)h + (dt·xc)B; y = C·h' + D·xc — the
+                selective_scan_step math (ops/scan.py), 2-D throughout."""
+                A = f(f"m{li}A")                      # (d_inner, d_state)
+                hstate = ssm_refs[li][b].astype(jnp.float32)
+                dt_col = jnp.transpose(dt)            # (d_inner, 1)
+                xc_col = jnp.transpose(xc.astype(jnp.float32))
+                hstate = jnp.exp(dt_col * A) * hstate \
+                    + (dt_col * xc_col) * Bv
+                ssm_out_refs[li][b] = hstate.astype(ssm_out_refs[li].dtype)
+                y_col = dot(hstate, jnp.transpose(Cv))
+                return jnp.transpose(y_col) \
+                    + xc.astype(jnp.float32) * f(f"m{li}D")
+
+            if meta["kind"] == "mamba":
+                xs = dot(hb, w(f"m{li}ina")).astype(cdt)   # (1, d_inner)
+                zg = dot(hb, w(f"m{li}inb")).astype(cdt)
+                cs = jnp.concatenate(
+                    [conv_refs[li][b][1:].astype(cdt), xs], axis=0)
+                conv_out_refs[li][b] = cs.astype(conv_out_refs[li].dtype)
+                xc = jnp.sum(cs * w(f"m{li}cw").astype(cdt), axis=0,
+                             keepdims=True) + f(f"m{li}cb").astype(cdt)
+                xc = jax.nn.silu(xc).astype(cdt)           # (1, d_inner)
+                dtr = dot(xc, w(f"m{li}xdt")).astype(cdt)  # (1, dt_rank)
+                Bv = dot(xc, w(f"m{li}xB"))                # (1, d_state)
+                Cv = dot(xc, w(f"m{li}xC"))
+                dt = jax.nn.softplus(
+                    dot(dtr, w(f"m{li}dtw")) + f(f"m{li}dtb"))
+                y = scan_step(xc, Bv, Cv, dt)
+                y = (y.astype(cdt) * jax.nn.silu(zg))      # (1, d_inner)
+            else:  # mamba2: split-projected SSD step + gated RMSNorm
+                zg = dot(hb, w(f"m{li}inz")).astype(cdt)
+                parts = []
+                for tag, cref, coref in (
+                        ("x", conv_refs[3 * li], conv_out_refs[3 * li]),
+                        ("B", conv_refs[3 * li + 1],
+                         conv_out_refs[3 * li + 1]),
+                        ("C", conv_refs[3 * li + 2],
+                         conv_out_refs[3 * li + 2])):
+                    v = dot(hb, w(f"m{li}in{tag}")).astype(cdt)
+                    cs = jnp.concatenate(
+                        [cref[b][1:].astype(cdt), v], axis=0)
+                    coref[b] = cs.astype(coref.dtype)
+                    part = jnp.sum(cs * w(f"m{li}cw{tag}").astype(cdt),
+                                   axis=0, keepdims=True) \
+                        + f(f"m{li}cb{tag}").astype(cdt)
+                    parts.append(jax.nn.silu(part).astype(cdt))
+                xc, Bv, Cv = parts[0], parts[1].astype(jnp.float32), \
+                    parts[2].astype(jnp.float32)
+                dt_h = jax.nn.softplus(
+                    dot(hb, w(f"m{li}indt")) + f(f"m{li}dtb"))
+                dt = dot(dt_h, f(f"m{li}E"))           # (1, d_inner) fp32
+                y = scan_step(xc, Bv, Cv, dt)
+                # gated RMSNorm (ops/norms.py::gated_rms_norm, eps 1e-5)
+                yf = y * jax.nn.silu(zg.astype(jnp.float32))
+                ms = jnp.mean(yf * yf, axis=-1, keepdims=True)
+                y = (yf * jax.lax.rsqrt(ms + 1e-5)
+                     * f(f"m{li}nw")).astype(cdt)
             hidden = dot(y, w(f"m{li}out")).astype(jnp.float32)
         residual = hidden + residual
         tok = _norm(residual, f("nfs"), None if meta["rms"] else f("nfb"),
@@ -399,7 +483,17 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
 
     enc = [state["enc"][i] for i in enc_io]
     dec_g = [d.reshape(B, 1, -1) for d in state["dec"]]
-    conv = [c["conv_state"] for c in state["bottleneck"]]
+    if meta["kind"] == "mamba2":
+        # the conv cache's lane splits (x | B | C) happen out here in XLA —
+        # the kernel never lane-slices
+        conv = []
+        for bm, c in zip(meta["bott"], state["bottleneck"]):
+            di, ds = bm["d_inner"], bm["d_state"]
+            cs = c["conv_state"]
+            conv.extend([cs[:, :, :di], cs[:, :, di:di + ds],
+                         cs[:, :, di + ds:]])
+    else:
+        conv = [c["conv_state"] for c in state["bottleneck"]]
     ssm = [c["ssm_state"] for c in state["bottleneck"]]
 
     args = [x_norm, arrays[0], arrays[1], *arrays[2:], *enc, *dec_g,
@@ -421,7 +515,10 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
         enc_n[i] = outs[1 + k]
     dec_n = [d.reshape(B, S, -1)
              for d in outs[1 + n_io:1 + n_io + D]]
-    conv_n = outs[1 + n_io + D:1 + n_io + D + len(conv)]
+    conv_n = list(outs[1 + n_io + D:1 + n_io + D + len(conv)])
     ssm_n = outs[1 + n_io + D + len(conv):]
+    if meta["kind"] == "mamba2":
+        conv_n = [jnp.concatenate(conv_n[3 * k:3 * k + 3], axis=-1)
+                  for k in range(len(ssm_n))]
     bott = [{"conv_state": c, "ssm_state": s} for c, s in zip(conv_n, ssm_n)]
     return {"enc": enc_n, "dec": dec_n, "bottleneck": bott}, out[:, :, 0]

@@ -108,3 +108,29 @@ def test_streamer_mega_offline_equivalence(params):
     n = L - CFG.frame_length  # flush boundary differs (see test_stream_fused)
     np.testing.assert_allclose(streamed[:, :n], offline[:, :n],
                                atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("kind", ["mamba2"])
+def test_mega_step_equals_xla_mamba2(params, kind):
+    cfg = CleanUMambaConfig(
+        channels_H=16, max_H=48, encoder_n_layers=4,
+        tsfm_n_layers=2, tsfm_n_head=2, tsfm_d_model=32, tsfm_d_inner=64,
+        normalize_input=True, bottleneck=kind)
+    p2 = init_params(jax.random.PRNGKey(3), cfg)
+    mega = pack_mega(p2, cfg, jnp.float32)
+    assert mega is not None
+    rng = np.random.default_rng(4)
+    fl, ts = cfg.frame_length, cfg.total_stride
+    x = (rng.normal(size=(1, fl + 4 * ts)) * 0.3).astype(np.float32)
+    st_r, _ = stream_prime(p2, cfg, jnp.asarray(x[:, :fl]))
+    st_m = st_r
+    for t in range(4):
+        new = jnp.asarray(x[:, fl + t * ts: fl + (t + 1) * ts])
+        st_r, yr = stream_step(p2, cfg, st_r, new)
+        st_m, ym = stream_step_mega(cfg, st_m, new, mega, interpret=True)
+        np.testing.assert_allclose(np.asarray(ym), np.asarray(yr),
+                                   atol=2e-5, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(st_r),
+                    jax.tree_util.tree_leaves(st_m)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)

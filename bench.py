@@ -21,8 +21,27 @@ import time
 import numpy as np
 
 
-def main():
+def _wait_for_backend(tries: int = 6, delay_s: float = 120.0):
+    """The axon relay can be briefly unavailable (it wedges for minutes
+    after a killed compile — CLAUDE.md).  Retry init instead of losing the
+    round's benchmark artifact to a transient outage."""
     import jax
+
+    for i in range(tries):
+        try:
+            jax.devices()
+            return jax
+        except RuntimeError as e:
+            if i == tries - 1:
+                raise
+            print(f"# backend unavailable ({e}); retry {i + 1}/{tries}",
+                  flush=True)
+            time.sleep(delay_s)
+    return jax
+
+
+def main():
+    jax = _wait_for_backend()
     import jax.numpy as jnp
 
     from cleanumamba_tpu.config import CleanUMambaConfig

@@ -33,9 +33,9 @@ CLAUDE.md and docs/performance.md "TPU lessons"):
 - No 1-D intermediates (1-D iota does not lower; vectors keep a (1, N) or
   (N, 1) 2-D shape throughout).
 
-Applicability (pack_mega returns None otherwise): bottleneck "mamba" or
+Applicability (pack_mega returns None otherwise): bottleneck "mamba",
 "mamba2" (the SSD step runs with lane-split conv caches and one-hot
-head-expansion matmuls),
+head-expansion matmuls) or "lstm" (gate columns split at pack time),
 K == 2·S, bypass == 0, groups == 1, every weight matrix ≤128 lanes, and
 total packed bytes within the VMEM budget — i.e. the released CleanUMamba
 geometry (d_model 64, d_inner 128, channels ≤64), full and pruned.  The
@@ -124,7 +124,7 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
     from cleanumamba_tpu.streaming import _level_lengths, _level_strides
 
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
-    if (cfg.bottleneck not in ("mamba", "mamba2") or K != 2 * S
+    if (cfg.bottleneck not in ("mamba", "mamba2", "lstm") or K != 2 * S
             or any(cfg.bypass_of_layer(i) != 0 for i in range(D))
             or any(cfg.group_of_layer(i) != 1 for i in range(D))):
         return None
@@ -182,7 +182,20 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
         addW("c2w", params["tsfm_conv2"]["w"][0])
         addF("c2b", params["tsfm_conv2"]["b"])
         bott_meta = []
-        for li, lp in enumerate(params["bottleneck"]["layers"]):
+        if cfg.bottleneck == "lstm":
+            # stacked LSTM, no residuals/norms (reference CleanUMamba.py:
+            # 158-164; norm_f = Identity).  Gate columns (torch i,f,g,o
+            # order) split at pack time; combined bias rides fp32.
+            for li, p in enumerate(params["bottleneck"]["layers"]):
+                H = p["w_hh"].shape[0]
+                for gi, gname in enumerate("ifgo"):
+                    addW(f"m{li}wi{gname}", p["w_ih"][:, gi * H:(gi + 1) * H])
+                    addW(f"m{li}wh{gname}", p["w_hh"][:, gi * H:(gi + 1) * H])
+                    addF(f"m{li}b{gname}",
+                         (p["b_ih"] + p["b_hh"])[gi * H:(gi + 1) * H])
+                bott_meta.append(dict(H=H))
+        for li, lp in enumerate(params["bottleneck"]["layers"]
+                                if cfg.bottleneck != "lstm" else []):
             p = lp["mixer"]
             if cfg.bottleneck == "mamba":
                 _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
@@ -244,9 +257,10 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
             addF(f"m{li}ns", lp["norm"]["scale"])
             if not cfg.rms_norm:
                 addF(f"m{li}nb", lp["norm"]["bias"])
-        addF("nfs", params["bottleneck"]["norm_f"]["scale"])
-        if not cfg.rms_norm:
-            addF("nfb", params["bottleneck"]["norm_f"]["bias"])
+        if cfg.bottleneck != "lstm":
+            addF("nfs", params["bottleneck"]["norm_f"]["scale"])
+            if not cfg.rms_norm:
+                addF("nfb", params["bottleneck"]["norm_f"]["bias"])
 
         dec_meta = []
         for j, dp in enumerate(params["decoder"]):
@@ -371,8 +385,29 @@ def _mega_kernel(*refs, meta, batch):
 
         # bottleneck: exactly streaming._bottleneck_step on 1 token
         t = dot(skips[-1][-1:].astype(cdt), w("c1w")) + f("c1b")  # (1, dm)
-        hidden, residual = t, jnp.zeros_like(t)
-        for li, bm in enumerate(meta["bott"]):
+        if meta["kind"] == "lstm":
+            # stacked cells, no residuals/norms (norm_f = Identity)
+            xh = t.astype(cdt)
+            for li in range(len(meta["bott"])):
+                h_prev = conv_refs[li][b].astype(cdt)      # (1, H)
+                c_prev = ssm_refs[li][b].astype(jnp.float32)
+                gs = {}
+                for gname in "ifgo":
+                    gs[gname] = (dot(xh, w(f"m{li}wi{gname}"))
+                                 + dot(h_prev, w(f"m{li}wh{gname}"))
+                                 + f(f"m{li}b{gname}")).astype(cdt)
+                c = jax.nn.sigmoid(gs["f"]).astype(jnp.float32) * c_prev \
+                    + (jax.nn.sigmoid(gs["i"])
+                       * jnp.tanh(gs["g"])).astype(jnp.float32)
+                h = (jax.nn.sigmoid(gs["o"]).astype(jnp.float32)
+                     * jnp.tanh(c)).astype(cdt)
+                conv_out_refs[li][b] = h.astype(conv_out_refs[li].dtype)
+                ssm_out_refs[li][b] = c.astype(ssm_out_refs[li].dtype)
+                xh = h
+            xd = (dot(xh, w("c2w")) + f("c2b")).astype(cdt)
+        else:
+          hidden, residual = t, jnp.zeros_like(t)
+          for li, bm in enumerate(meta["bott"]):
             residual = hidden + residual
             hb = _norm(residual, f(f"m{li}ns"),
                        None if meta["rms"] else f(f"m{li}nb"),
@@ -437,10 +472,10 @@ def _mega_kernel(*refs, meta, batch):
                 y = (yf * jax.lax.rsqrt(ms + 1e-5)
                      * f(f"m{li}nw")).astype(cdt)
             hidden = dot(y, w(f"m{li}out")).astype(jnp.float32)
-        residual = hidden + residual
-        tok = _norm(residual, f("nfs"), None if meta["rms"] else f("nfb"),
-                    meta["rms"], meta["eps"]).astype(cdt)
-        xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)  # (1, C_last)
+          residual = hidden + residual
+          tok = _norm(residual, f("nfs"), None if meta["rms"] else f("nfb"),
+                      meta["rms"], meta["eps"]).astype(cdt)
+          xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)  # (1, C_last)
 
         for j, dm in enumerate(meta["dec"]):
             T = dm["T"]
@@ -492,9 +527,14 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
             cs = c["conv_state"]
             conv.extend([cs[:, :, :di], cs[:, :, di:di + ds],
                          cs[:, :, di + ds:]])
+        ssm = [c["ssm_state"] for c in state["bottleneck"]]
+    elif meta["kind"] == "lstm":
+        # h/c ride as (B, 1, H) so per-batch kernel slices stay 2-D
+        conv = [c["h"][:, None, :] for c in state["bottleneck"]]
+        ssm = [c["c"][:, None, :] for c in state["bottleneck"]]
     else:
         conv = [c["conv_state"] for c in state["bottleneck"]]
-    ssm = [c["ssm_state"] for c in state["bottleneck"]]
+        ssm = [c["ssm_state"] for c in state["bottleneck"]]
 
     args = [x_norm, arrays[0], arrays[1], *arrays[2:], *enc, *dec_g,
             *conv, *ssm]
@@ -520,5 +560,10 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
     if meta["kind"] == "mamba2":
         conv_n = [jnp.concatenate(conv_n[3 * k:3 * k + 3], axis=-1)
                   for k in range(len(ssm_n))]
-    bott = [{"conv_state": c, "ssm_state": s} for c, s in zip(conv_n, ssm_n)]
+    if meta["kind"] == "lstm":
+        bott = [{"h": h[:, 0, :], "c": c[:, 0, :]}
+                for h, c in zip(conv_n, ssm_n)]
+    else:
+        bott = [{"conv_state": c, "ssm_state": s}
+                for c, s in zip(conv_n, ssm_n)]
     return {"enc": enc_n, "dec": dec_n, "bottleneck": bott}, out[:, :, 0]

@@ -1,4 +1,4 @@
-"""Mega-kernel parity on every released mamba/mamba2 checkpoint (full + pruned).
+"""Mega-kernel parity on the released mamba/mamba2/LSTM checkpoints (full + pruned).
 
 Drives ops/pallas/stream_mega.py frame-for-frame against the XLA
 stream_step on the real converted checkpoints.  On CPU the kernel runs in
@@ -18,6 +18,7 @@ sys.path.insert(0, REPO)
 CKPTS = [
     "experiments/Experiment_CleanU_Mamba.pkl",
     "experiments/Experiment_CleanU_Mamba2.pkl",
+    "experiments/Experiment_CleanU_LSTM.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-2M.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-1M.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-500K.pkl",

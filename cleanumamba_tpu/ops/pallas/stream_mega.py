@@ -60,7 +60,9 @@ from jax.experimental import pallas as pl
 from cleanumamba_tpu.ops.pallas.stream_fused import _ACTS
 
 _LANE = 128
-_VMEM_BUDGET = 6 * 1024 * 1024
+# ~16 MiB scoped VMEM minus activation/accumulator headroom (the biggest
+# live activation at E8 is the level-0 window product, <1 MiB)
+_VMEM_BUDGET = 10 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------

@@ -54,6 +54,10 @@ def main():
         cfg, params, _ = load_reference_checkpoint(
             os.path.join("/root/reference/checkpoints", name))
         mega = pack_mega(params, cfg, jnp.float32)
+        dtype_tag = "fp32"
+        if mega is None:
+            mega = pack_mega(params, cfg, jnp.bfloat16)
+            dtype_tag = "bf16"
         if mega is None:
             print(f"{name}: DOES NOT PACK")
             continue
@@ -74,7 +78,7 @@ def main():
             worst = max(worst, float(jnp.abs(ym - yr).max()))
             scale = max(scale, float(jnp.abs(yr).max()))
         nbytes = sum(a.size * a.dtype.itemsize for a in mega[0])
-        print(f"{name}: packs {nbytes/1e6:.2f} MB, "
+        print(f"{name}: packs {nbytes/1e6:.2f} MB {dtype_tag}, "
               f"max|d|={worst:.2e} (rel {worst/(scale + 1e-12):.2e})")
 
 

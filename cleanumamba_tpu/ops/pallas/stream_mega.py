@@ -33,14 +33,22 @@ CLAUDE.md and docs/performance.md "TPU lessons"):
 - No 1-D intermediates (1-D iota does not lower; vectors keep a (1, N) or
   (N, 1) 2-D shape throughout).
 
-Applicability (pack_mega returns None otherwise): bottleneck "mamba",
-"mamba2" (the SSD step runs with lane-split conv caches and one-hot
-head-expansion matmuls) or "lstm" (gate columns split at pack time),
-K == 2·S, bypass == 0, groups == 1, every weight matrix ≤128 lanes, and
-total packed bytes within the VMEM budget — i.e. the released CleanUMamba
-geometry (d_model 64, d_inner 128, channels ≤64), full and pruned.  The
-41M E8-full config exceeds the lane bound and stays on the per-level
-fused path (stream_fused.py).
+Applicability (pack_mega returns None otherwise): every bottleneck family
+— "mamba", "mamba2" (the SSD step runs with lane-split conv caches and
+one-hot head-expansion matmuls), "lstm" (gate columns split at pack time),
+"mamba_s4" (the per-head DENSE complex DPLR update s'_h = dA_h s_h + dB_h u
+runs as constant-matrix MXU passes: the state rides head-transposed
+(2N, H) with re/im stacked on sublanes, shat = (TileSel @ sT) * TileMask
+expands it block-diagonally and one (N, H·N) matmul per re/im term applies
+every head's dA at once) and "mha" (ring KV caches ride as per-layer
+(max_len, d) refs, the slot write is a one-hot-row ``where``, and the
+per-head logit/average contractions are one-hot HeadSum matmuls — no
+per-head loop, no dynamic slicing) — with K == 2·S, bypass == 0,
+groups == 1, every weight matrix ≤128 lanes (constants wider than 128
+ride as their own refs), and total packed bytes within the VMEM budget —
+i.e. the released CleanUMamba geometry (d_model 64, d_inner 128, channels
+≤64), full and pruned.  The 41M E8-full config exceeds the lane bound and
+stays on the per-level fused path (stream_fused.py).
 
 Semantics are bit-for-bit `streaming.stream_step`'s (same cache layouts,
 same bias-sans-tail decoder caching, reference CleanUMamba.py:420-484);
@@ -126,7 +134,8 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
     from cleanumamba_tpu.streaming import _level_lengths, _level_strides
 
     K, S, D = cfg.kernel_size, cfg.stride, cfg.encoder_n_layers
-    if (cfg.bottleneck not in ("mamba", "mamba2", "lstm") or K != 2 * S
+    if (cfg.bottleneck not in ("mamba", "mamba2", "lstm", "mamba_s4", "mha")
+            or K != 2 * S
             or any(cfg.bypass_of_layer(i) != 0 for i in range(D))
             or any(cfg.group_of_layer(i) != 1 for i in range(D))):
         return None
@@ -196,8 +205,36 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
                     addF(f"m{li}b{gname}",
                          (p["b_ih"] + p["b_hh"])[gi * H:(gi + 1) * H])
                 bott_meta.append(dict(H=H))
+        if cfg.bottleneck == "mha":
+            # post-norm causal transformer (bottleneck_mha.step).  Per-head
+            # contractions ride as one-hot HeadSum matmuls; the ring KV
+            # caches cross the boundary as per-layer (B, max_len, d) refs
+            # plus one (1, 1) int32 position ref.
+            d = params["bottleneck"]["layers"][0]["w_qs"].shape[0]
+            n_head = cfg.tsfm_n_head
+            HS = np.zeros((d, n_head), np.float32)
+            HS[np.arange(d), np.arange(d) // (d // n_head)] = 1.0
+            addF("mhaHS", HS)
+            addF("mhaHSt", HS.T)
+            for li, p in enumerate(params["bottleneck"]["layers"]):
+                addW(f"m{li}wq", p["w_qs"])
+                addW(f"m{li}wk", p["w_ks"])
+                addW(f"m{li}wv", p["w_vs"])
+                addW(f"m{li}fc", p["fc"])
+                addF(f"m{li}ans", p["attn_norm"]["scale"])
+                addF(f"m{li}anb", p["attn_norm"]["bias"])
+                addW(f"m{li}f1", p["ffn_w1"])
+                addF(f"m{li}f1b", p["ffn_b1"])
+                addW(f"m{li}f2", p["ffn_w2"])
+                addF(f"m{li}f2b", p["ffn_b2"])
+                addF(f"m{li}fns", p["ffn_norm"]["scale"])
+                addF(f"m{li}fnb", p["ffn_norm"]["bias"])
+                bott_meta.append(dict(d=d))
+            addF("nfs", params["bottleneck"]["final_norm"]["scale"])
+            addF("nfb", params["bottleneck"]["final_norm"]["bias"])
         for li, lp in enumerate(params["bottleneck"]["layers"]
-                                if cfg.bottleneck != "lstm" else []):
+                                if cfg.bottleneck not in ("lstm", "mha")
+                                else []):
             p = lp["mixer"]
             if cfg.bottleneck == "mamba":
                 _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
@@ -215,6 +252,53 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
                 addW(f"m{li}out", p["out_proj"])
                 bott_meta.append(dict(d_inner=d_inner, d_state=d_state,
                                       dt_rank=dt_rank, d_conv=d_conv))
+            elif cfg.bottleneck == "mamba_s4":
+                # S4 mixer (bottleneck_s4.mixer_step): the dense per-head
+                # complex DPLR update s'_h = dA_h s_h + dB_h u_h runs as
+                # constant MXU passes.  The discrete system is recomputed
+                # host-side exactly as mixer_init_cache builds the cache's
+                # dA/dB/dC (sp_discrete_system — same helpers, bit-equal).
+                from cleanumamba_tpu.models.bottleneck_s4 import (
+                    sp_discrete_system,
+                )
+
+                d_inner = p["conv_w"].shape[1]
+                d_conv = p["conv_w"].shape[0]
+                sysm = sp_discrete_system(p)
+                dA = np.asarray(sysm["dA"])          # (H, N, N, 2)
+                dB = np.asarray(sysm["dB"])          # (H, N, 2)
+                dC = np.asarray(sysm["dC"])          # (C, H, N, 2)
+                assert dC.shape[0] == 1, dC.shape    # single output channel
+                Hh, Ns = dA.shape[0], dA.shape[1]
+                for tag, ci in (("re", 0), ("im", 1)):
+                    # Ahat[m, h·N+n] = dA[h, m, n] — one (N, H·N) matmul
+                    # applies every head's dense dA at once (rides wide)
+                    addF(f"m{li}A{tag}",
+                         dA[..., ci].transpose(1, 0, 2).reshape(Ns, Hh * Ns))
+                    addF(f"m{li}B{tag}", dB[..., ci].T)      # (N, H)
+                    addF(f"m{li}C{tag}", dC[0, ..., ci].T)   # (N, H)
+                # shat = (TileSel @ sT) * TileMask block-diag expansion
+                addF(f"m{li}tsel",
+                     np.tile(np.eye(Ns, dtype=np.float32), (Hh, 1)))
+                addF(f"m{li}tmask",
+                     np.repeat(np.eye(Hh, dtype=np.float32), Ns, axis=0))
+                addW(f"m{li}ina", p["in_proj"][:, :d_inner])
+                addW(f"m{li}inb", p["in_proj"][:, d_inner:])
+                addW(f"m{li}cw", p["conv_w"])
+                addF(f"m{li}cb", p["conv_b"])
+                addW(f"m{li}ulw", p["input_linear_w"])
+                addF(f"m{li}ulb", p["input_linear_b"])
+                addF(f"m{li}D", p["ssm_D"][0])
+                ow = p["output_linear_w"]
+                half = ow.shape[1] // 2
+                addW(f"m{li}olwa", ow[:, :half])
+                addW(f"m{li}olwb", ow[:, half:])
+                ob = p["output_linear_b"].reshape(1, -1)
+                addF(f"m{li}olba", ob[:, :half])
+                addF(f"m{li}olbb", ob[:, half:])
+                addW(f"m{li}out", p["out_proj"])
+                bott_meta.append(dict(d_inner=d_inner, d_conv=d_conv,
+                                      H=Hh, N=Ns))
             else:  # mamba2 (SSD step form)
                 from cleanumamba_tpu.models.bottleneck_mamba2 import (
                     mixer_geometry,
@@ -259,7 +343,7 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
             addF(f"m{li}ns", lp["norm"]["scale"])
             if not cfg.rms_norm:
                 addF(f"m{li}nb", lp["norm"]["bias"])
-        if cfg.bottleneck != "lstm":
+        if cfg.bottleneck not in ("lstm", "mha"):
             addF("nfs", params["bottleneck"]["norm_f"]["scale"])
             if not cfg.rms_norm:
                 addF("nfb", params["bottleneck"]["norm_f"]["bias"])
@@ -304,6 +388,7 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
         K=K, S=S, D=D, lens=tuple(lens), strides=tuple(strides),
         d_model=d_model, act=cfg.glu_activation, rms=cfg.rms_norm,
         eps=cfg.norm_epsilon, cdt=cdt, kind=cfg.bottleneck,
+        n_head=cfg.tsfm_n_head,
         enc=tuple(enc_meta), bott=tuple(bott_meta), dec=tuple(dec_meta),
         slicesW=dict(W.slices), slicesF=dict(F.slices), wide=dict(wide_ix),
     )
@@ -313,6 +398,22 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
 # --------------------------------------------------------------------------
 # Kernel
 # --------------------------------------------------------------------------
+
+def _silu32(x):
+    # Mosaic fails verification lowering bf16 `logistic` at ragged lane
+    # widths ('vector.broadcast' element-type mismatch, seen compiling the
+    # bf16-packed pruned-2M checkpoints on chip) — run transcendentals on
+    # fp32 and cast back.  No-op for fp32 packs.
+    return jax.nn.silu(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _sigmoid32(x):
+    return jax.nn.sigmoid(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def _tanh32(x):
+    return jnp.tanh(x.astype(jnp.float32)).astype(x.dtype)
+
 
 def _norm(x, scale, bias, rms, eps):
     xf = x.astype(jnp.float32)
@@ -329,8 +430,11 @@ def _mega_kernel(*refs, meta, batch):
     cdt = meta["cdt"]
     act = _ACTS[meta["act"]]
     n_bott = len(meta["bott"])
-    # mamba2's conv cache crosses the boundary as 3 split arrays per layer
+    # mamba2's conv cache crosses the boundary as 3 split arrays per layer;
+    # mha rides k caches in the conv slots, v caches + one (1, 1) int32
+    # position ref in the ssm slots
     n_conv = n_bott * (3 if meta["kind"] == "mamba2" else 1)
+    n_ssm = n_bott + (1 if meta["kind"] == "mha" else 0)
     enc_io = [i for i, em in enumerate(meta["enc"]) if em["cache"] > 0]
 
     it = iter(refs)
@@ -347,18 +451,23 @@ def _mega_kernel(*refs, meta, batch):
     enc_cache_refs = {i: next(it) for i in enc_io}
     dec_prev_refs = [next(it) for _ in range(D)]
     conv_refs = [next(it) for _ in range(n_conv)]
-    ssm_refs = [next(it) for _ in range(n_bott)]
+    ssm_refs = [next(it) for _ in range(n_ssm)]
     out_ref = next(it)
     enc_out_refs = {i: next(it) for i in enc_io}
     dec_out_refs = [next(it) for _ in range(D)]
     conv_out_refs = [next(it) for _ in range(n_conv)]
-    ssm_out_refs = [next(it) for _ in range(n_bott)]
+    ssm_out_refs = [next(it) for _ in range(n_ssm)]
 
 
     def dot(a, b):
         prec = "highest" if cdt == jnp.float32 else None
         return jnp.dot(a, b, preferred_element_type=jnp.float32,
                        precision=prec)
+
+    def dotf(a, b):
+        # fp32 state arithmetic regardless of the pack's compute dtype
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision="highest")
 
     for b in range(batch):
         xp = x_ref[b].astype(cdt)  # (frame_length, 1)
@@ -398,15 +507,60 @@ def _mega_kernel(*refs, meta, batch):
                     gs[gname] = (dot(xh, w(f"m{li}wi{gname}"))
                                  + dot(h_prev, w(f"m{li}wh{gname}"))
                                  + f(f"m{li}b{gname}")).astype(cdt)
-                c = jax.nn.sigmoid(gs["f"]).astype(jnp.float32) * c_prev \
-                    + (jax.nn.sigmoid(gs["i"])
-                       * jnp.tanh(gs["g"])).astype(jnp.float32)
-                h = (jax.nn.sigmoid(gs["o"]).astype(jnp.float32)
+                c = _sigmoid32(gs["f"]).astype(jnp.float32) * c_prev \
+                    + (_sigmoid32(gs["i"])
+                       * _tanh32(gs["g"])).astype(jnp.float32)
+                h = (_sigmoid32(gs["o"]).astype(jnp.float32)
                      * jnp.tanh(c)).astype(cdt)
                 conv_out_refs[li][b] = h.astype(conv_out_refs[li].dtype)
                 ssm_out_refs[li][b] = c.astype(ssm_out_refs[li].dtype)
                 xh = h
             xd = (dot(xh, w("c2w")) + f("c2b")).astype(cdt)
+        elif meta["kind"] == "mha":
+            # post-norm causal transformer, exactly bottleneck_mha.step.
+            # Ring slot write = one-hot row `where`; per-head logit /
+            # average contractions = HeadSum one-hot matmuls (no per-head
+            # loop, no dynamic slicing).
+            eps = meta["eps"]
+            pos = ssm_refs[n_bott][0, 0]               # shared int32 scalar
+            max_len = conv_refs[0].shape[1]
+            slot = jax.lax.rem(pos, max_len)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
+            onehot = iota == slot
+            valid = iota <= jnp.minimum(pos, max_len - 1)
+            inv_sqrt_dk = 1.0 / float(
+                np.sqrt(meta["d_model"] // meta["n_head"]))
+            xh = t.astype(cdt)                          # (1, d)
+            for li in range(n_bott):
+                resid = xh.astype(jnp.float32)
+                qr = dot(xh, w(f"m{li}wq"))             # (1, d) fp32
+                kr = dot(xh, w(f"m{li}wk"))
+                vr = dot(xh, w(f"m{li}wv"))
+                kc = jnp.where(onehot, kr,
+                               conv_refs[li][b].astype(jnp.float32))
+                vc = jnp.where(onehot, vr,
+                               ssm_refs[li][b].astype(jnp.float32))
+                conv_out_refs[li][b] = kc.astype(conv_out_refs[li].dtype)
+                ssm_out_refs[li][b] = vc.astype(ssm_out_refs[li].dtype)
+                logits = dotf(kc * qr, f("mhaHS")) * inv_sqrt_dk
+                logits = jnp.where(valid, logits, -1e9)  # (max_len, n_head)
+                attn = jax.nn.softmax(logits, axis=0)
+                aexp = dotf(attn, f("mhaHSt"))           # (max_len, d)
+                a = jnp.sum(vc * aexp, axis=0, keepdims=True)
+                a = dot(a.astype(cdt), w(f"m{li}fc"))
+                xh = _norm(a + resid, f(f"m{li}ans"), f(f"m{li}anb"),
+                           False, eps).astype(cdt)
+                resid = xh.astype(jnp.float32)
+                ff = jax.nn.relu(dot(xh, w(f"m{li}f1"))
+                                 + f(f"m{li}f1b")).astype(cdt)
+                ff = dot(ff, w(f"m{li}f2")) + f(f"m{li}f2b")
+                xh = _norm(ff + resid, f(f"m{li}fns"), f(f"m{li}fnb"),
+                           False, eps).astype(cdt)
+            tok = _norm(xh.astype(jnp.float32), f("nfs"), f("nfb"),
+                        False, eps).astype(cdt)
+            xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)
+            if b == 0:
+                ssm_out_refs[n_bott][0, 0] = pos + 1
         else:
           hidden, residual = t, jnp.zeros_like(t)
           for li, bm in enumerate(meta["bott"]):
@@ -437,14 +591,53 @@ def _mega_kernel(*refs, meta, batch):
                 conv_out_refs[li][b] = cs.astype(conv_out_refs[li].dtype)
                 xc = jnp.sum(cs * w(f"m{li}cw").astype(cdt), axis=0,
                              keepdims=True) + f(f"m{li}cb").astype(cdt)
-                xc = jax.nn.silu(xc).astype(cdt)           # (1, d_inner)
+                xc = _silu32(xc).astype(cdt)               # (1, d_inner)
                 dtr = dot(xc, w(f"m{li}xdt")).astype(cdt)  # (1, dt_rank)
                 Bv = dot(xc, w(f"m{li}xB"))                # (1, d_state)
                 Cv = dot(xc, w(f"m{li}xC"))
                 dt = jax.nn.softplus(
                     dot(dtr, w(f"m{li}dtw")) + f(f"m{li}dtb"))
                 y = scan_step(xc, Bv, Cv, dt)
-                y = (y.astype(cdt) * jax.nn.silu(zg))      # (1, d_inner)
+                y = (y.astype(cdt) * _silu32(zg))          # (1, d_inner)
+            elif meta["kind"] == "mamba_s4":
+                # S4 mixer (bottleneck_s4.mixer_step): dense per-head
+                # complex DPLR update via the block-diag expansion
+                # shat = (TileSel @ sT) * TileMask, then one (N, H·N)
+                # matmul per re/im term; dC contraction and dB·u are
+                # row-broadcast elementwise.  State math fp32 always.
+                Ns = bm["N"]
+                xs = dot(hb, w(f"m{li}ina")).astype(cdt)   # (1, d_inner)
+                zg = dot(hb, w(f"m{li}inb")).astype(cdt)
+                cs = jnp.concatenate(
+                    [conv_refs[li][b][1:].astype(cdt), xs], axis=0)
+                conv_out_refs[li][b] = cs.astype(conv_out_refs[li].dtype)
+                xc = jnp.sum(cs * w(f"m{li}cw").astype(cdt), axis=0,
+                             keepdims=True) + f(f"m{li}cb").astype(cdt)
+                xc = _silu32(xc).astype(cdt)
+                u = (dot(xc, w(f"m{li}ulw"))
+                     + f(f"m{li}ulb")).astype(cdt)         # (1, H)
+                uf = u.astype(jnp.float32)
+                sref = ssm_refs[li][b].astype(jnp.float32)  # (2N, H)
+                sre, sim = sref[:Ns], sref[Ns:]
+                tsel, tmask = f(f"m{li}tsel"), f(f"m{li}tmask")
+                shre = dotf(tsel, sre) * tmask             # (H·N, H)
+                shim = dotf(tsel, sim) * tmask
+                Are, Aim = f(f"m{li}Are"), f(f"m{li}Aim")
+                nre = dotf(Are, shre) - dotf(Aim, shim) \
+                    + f(f"m{li}Bre") * uf                  # (N, H)
+                nim = dotf(Are, shim) + dotf(Aim, shre) \
+                    + f(f"m{li}Bim") * uf
+                ssm_out_refs[li][b] = jnp.concatenate(
+                    [nre, nim], axis=0).astype(ssm_out_refs[li].dtype)
+                y = jnp.sum(f(f"m{li}Cre") * nre - f(f"m{li}Cim") * nim,
+                            axis=0, keepdims=True)         # (1, H) = Re(dC s')
+                y = y + uf * f(f"m{li}D")
+                y = jax.nn.gelu(y.astype(jnp.float32),
+                                approximate=False).astype(cdt)
+                g = ((dot(y, w(f"m{li}olwa")) + f(f"m{li}olba"))
+                     * jax.nn.sigmoid(dot(y, w(f"m{li}olwb"))
+                                      + f(f"m{li}olbb"))).astype(cdt)
+                y = g * _silu32(zg)                        # (1, d_inner)
             else:  # mamba2: split-projected SSD step + gated RMSNorm
                 zg = dot(hb, w(f"m{li}inz")).astype(cdt)
                 parts = []
@@ -461,7 +654,7 @@ def _mega_kernel(*refs, meta, batch):
                     part = jnp.sum(cs * w(f"m{li}cw{tag}").astype(cdt),
                                    axis=0, keepdims=True) \
                         + f(f"m{li}cb{tag}").astype(cdt)
-                    parts.append(jax.nn.silu(part).astype(cdt))
+                    parts.append(_silu32(part).astype(cdt))
                 xc, Bv, Cv = parts[0], parts[1].astype(jnp.float32), \
                     parts[2].astype(jnp.float32)
                 dt_h = jax.nn.softplus(
@@ -534,6 +727,22 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
         # h/c ride as (B, 1, H) so per-batch kernel slices stay 2-D
         conv = [c["h"][:, None, :] for c in state["bottleneck"]]
         ssm = [c["c"][:, None, :] for c in state["bottleneck"]]
+    elif meta["kind"] == "mamba_s4":
+        # complex state rides head-transposed with re/im stacked on
+        # sublanes: (B, H, N, 2) <-> (B, 2N, H); the cache's dA/dB/dC
+        # constants never cross (they are baked into the pack)
+        conv = [c["conv_state"] for c in state["bottleneck"]]
+        ssm = [jnp.concatenate(
+            [jnp.swapaxes(c["s4_state"][..., 0], 1, 2),
+             jnp.swapaxes(c["s4_state"][..., 1], 1, 2)], axis=1)
+            for c in state["bottleneck"]]
+    elif meta["kind"] == "mha":
+        # per-layer ring KV caches + one (1, 1) int32 position
+        bc = state["bottleneck"]
+        L = len(meta["bott"])
+        conv = [bc["k"][l] for l in range(L)]
+        ssm = [bc["v"][l] for l in range(L)] \
+            + [bc["pos"].astype(jnp.int32).reshape(1, 1)]
     else:
         conv = [c["conv_state"] for c in state["bottleneck"]]
         ssm = [c["ssm_state"] for c in state["bottleneck"]]
@@ -565,6 +774,17 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
     if meta["kind"] == "lstm":
         bott = [{"h": h[:, 0, :], "c": c[:, 0, :]}
                 for h, c in zip(conv_n, ssm_n)]
+    elif meta["kind"] == "mha":
+        L = len(meta["bott"])
+        bott = {"k": jnp.stack(conv_n[:L]), "v": jnp.stack(ssm_n[:L]),
+                "pos": ssm_n[L][0, 0]}
+    elif meta["kind"] == "mamba_s4":
+        bott = []
+        for c, s, old in zip(conv_n, ssm_n, state["bottleneck"]):
+            N2 = s.shape[1] // 2
+            s4 = jnp.stack([jnp.swapaxes(s[:, :N2], 1, 2),
+                            jnp.swapaxes(s[:, N2:], 1, 2)], axis=-1)
+            bott.append({**old, "conv_state": c, "s4_state": s4})
     else:
         bott = [{"conv_state": c, "ssm_state": s}
                 for c, s in zip(conv_n, ssm_n)]

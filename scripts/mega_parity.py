@@ -19,6 +19,8 @@ CKPTS = [
     "experiments/Experiment_CleanU_Mamba.pkl",
     "experiments/Experiment_CleanU_Mamba2.pkl",
     "experiments/Experiment_CleanU_LSTM.pkl",
+    "experiments/Experiment_CleanU_MambaS4.pkl",
+    "experiments/Experiment_CleanU_MHA.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-2M.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-1M.pkl",
     "pruned/CleanUMamba-3N-E8_pruned-500K.pkl",

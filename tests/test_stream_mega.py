@@ -110,7 +110,7 @@ def test_streamer_mega_offline_equivalence(params):
                                atol=1e-3, rtol=1e-3)
 
 
-@pytest.mark.parametrize("kind", ["mamba2", "lstm"])
+@pytest.mark.parametrize("kind", ["mamba2", "lstm", "mamba_s4", "mha"])
 def test_mega_step_equals_xla_mamba2(params, kind):
     cfg = CleanUMambaConfig(
         channels_H=16, max_H=48, encoder_n_layers=4,

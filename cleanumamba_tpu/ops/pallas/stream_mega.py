@@ -64,6 +64,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cleanumamba_tpu.ops.pallas.stream_fused import _ACTS
 
@@ -415,6 +416,26 @@ def _tanh32(x):
     return jnp.tanh(x.astype(jnp.float32)).astype(x.dtype)
 
 
+def _gelu32(x):
+    # Exact (erf-based) GELU, matching jax.nn.gelu(approximate=False) on the
+    # XLA streaming path — but Mosaic has no erf/erfc lowering, so erf is
+    # computed in-kernel with the Abramowitz & Stegun 7.1.26 polynomial
+    # (max |err| 1.5e-7, below the fp32 round-off already present in the
+    # surrounding matmuls).
+    xf = x.astype(jnp.float32)
+    z = xf * jnp.float32(0.7071067811865476)          # x / sqrt(2)
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + jnp.float32(0.3275911) * a)
+    poly = t * (jnp.float32(0.254829592)
+                + t * (jnp.float32(-0.284496736)
+                       + t * (jnp.float32(1.421413741)
+                              + t * (jnp.float32(-1.453152027)
+                                     + t * jnp.float32(1.061405429)))))
+    erf_a = 1.0 - poly * jnp.exp(-a * a)
+    erf_z = jnp.sign(z) * erf_a
+    return (0.5 * xf * (1.0 + erf_z)).astype(x.dtype)
+
+
 def _norm(x, scale, bias, rms, eps):
     xf = x.astype(jnp.float32)
     if rms:
@@ -522,7 +543,10 @@ def _mega_kernel(*refs, meta, batch):
             # average contractions = HeadSum one-hot matmuls (no per-head
             # loop, no dynamic slicing).
             eps = meta["eps"]
-            pos = ssm_refs[n_bott][0, 0]               # shared int32 scalar
+            # the shared position rides as a (1, 1) int32 ref — Mosaic
+            # cannot load/store VMEM scalars, so keep it 2-D throughout
+            # (broadcasting against the (max_len, 1) iota is free)
+            pos = ssm_refs[n_bott][:, :]               # (1, 1) int32
             max_len = conv_refs[0].shape[1]
             slot = jax.lax.rem(pos, max_len)
             iota = jax.lax.broadcasted_iota(jnp.int32, (max_len, 1), 0)
@@ -560,7 +584,7 @@ def _mega_kernel(*refs, meta, batch):
                         False, eps).astype(cdt)
             xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)
             if b == 0:
-                ssm_out_refs[n_bott][0, 0] = pos + 1
+                ssm_out_refs[n_bott][:, :] = pos + 1
         else:
           hidden, residual = t, jnp.zeros_like(t)
           for li, bm in enumerate(meta["bott"]):
@@ -632,8 +656,7 @@ def _mega_kernel(*refs, meta, batch):
                 y = jnp.sum(f(f"m{li}Cre") * nre - f(f"m{li}Cim") * nim,
                             axis=0, keepdims=True)         # (1, H) = Re(dC s')
                 y = y + uf * f(f"m{li}D")
-                y = jax.nn.gelu(y.astype(jnp.float32),
-                                approximate=False).astype(cdt)
+                y = _gelu32(y.astype(jnp.float32)).astype(cdt)
                 g = ((dot(y, w(f"m{li}olwa")) + f(f"m{li}olba"))
                      * jax.nn.sigmoid(dot(y, w(f"m{li}olwb"))
                                       + f(f"m{li}olbb"))).astype(cdt)
@@ -757,8 +780,15 @@ def mega_stream_step(x_norm, state, arrays, meta, interpret=False):
         + [jax.ShapeDtypeStruct(s.shape, s.dtype) for s in ssm]
     )
     kernel = functools.partial(_mega_kernel, meta=meta, batch=B)
+    # Mosaic's default scoped-VMEM limit is 16 MiB; the S4 family's dense
+    # per-head transition matrices push the kernel stack past it (observed
+    # 17.98 MiB on the released MambaS4 checkpoint).  v5e has 128 MiB of
+    # VMEM and this kernel is the only thing resident, so raise the cap.
+    kwargs = {} if interpret else {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)}
     outs = pl.pallas_call(kernel, out_shape=tuple(out_shapes),
-                          interpret=interpret)(*args)
+                          interpret=interpret, **kwargs)(*args)
     out = outs[0]
     n_io = len(enc_io)
     enc_n = list(state["enc"])

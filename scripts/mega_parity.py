@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--chip", action="store_true",
                     help="run compiled on the TPU (default: CPU interpret)")
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on checkpoint names")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +55,8 @@ def main():
     )
 
     for name in CKPTS:
+        if args.only and args.only not in name:
+            continue
         cfg, params, _ = load_reference_checkpoint(
             os.path.join("/root/reference/checkpoints", name))
         mega = pack_mega(params, cfg, jnp.float32)
@@ -71,7 +75,10 @@ def main():
         step_mega = jax.jit(
             lambda s, n, _c=cfg, _m=mega: stream_step_mega(
                 _c, s, n, _m, interpret=not args.chip))
-        st_r, _ = stream_prime(params, cfg, jnp.asarray(x[:, :fl]))
+        # prime must run jitted: the S4 cache init does complex math, and
+        # eager complex ops are UNIMPLEMENTED on the axon relay
+        st_r, _ = jax.jit(lambda f, _c=cfg: stream_prime(params, _c, f))(
+            jnp.asarray(x[:, :fl]))
         st_m, worst, scale = st_r, 0.0, 0.0
         for t in range(args.frames):
             new = jnp.asarray(x[:, fl + t * ts: fl + (t + 1) * ts])

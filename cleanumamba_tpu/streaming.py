@@ -582,10 +582,17 @@ class Streamer:
         inside the jitted step) halves it again.  State/activation math
         stays in ``dtype``.
 
-        fused: collapse each lane-aligned U-Net level of the single-frame
-        step into one Pallas kernel (ops/pallas/stream_fused.py) — cuts the
-        per-op dispatch cost that dominates block=1 latency.  "auto" = on
-        TPU; fused_interpret runs the kernels in interpret mode (CPU
+        fused: "auto" | "mega" | True | False.  "mega" collapses the ENTIRE
+        single-frame step into one whole-frame Pallas kernel
+        (ops/pallas/stream_mega.py; raises if the model doesn't pack);
+        True collapses each lane-aligned U-Net level into its own kernel
+        (ops/pallas/stream_fused.py).  Both cut the per-op dispatch cost
+        that dominates block=1 latency.  "auto" = on TPU, prefer the mega
+        kernel when the model packs (measured fastest AND most accurate
+        on-chip path on every released checkpoint — docs/performance.md),
+        falling back to per-level fusion, except int8 which stays on XLA
+        (its fused dequant-into-GEMM wins at streaming's tiny GEMM sizes).
+        fused_interpret runs the kernels in interpret mode (CPU
         equivalence tests)."""
         if weights == "int8":
             from cleanumamba_tpu.quant import dequantize_params, quantize_params
@@ -615,6 +622,10 @@ class Streamer:
         self.cfg = cfg
         self.dtype = dtype
         self.batch = batch
+        self._pack_arrays = None
+        pack_meta = None
+        mega_meta = None
+        cdt = jnp.float32 if weights == "fp32" else jnp.bfloat16
         if fused == "auto":
             from cleanumamba_tpu.ops.pallas.selective_scan import pallas_available
 
@@ -622,11 +633,17 @@ class Streamer:
             # the kernels' in-register dequant at streaming's tiny GEMM
             # sizes (measured, docs/performance.md block=1 table).
             fused = pallas_available() and weights != "int8"
-        self._pack_arrays = None
-        pack_meta = None
-        mega_meta = None
-        cdt = jnp.float32 if weights == "fp32" else jnp.bfloat16
-        if fused == "mega":
+            if fused:
+                # Prefer the whole-frame mega kernel when the model packs:
+                # fastest AND most accurate on-chip block=1 path on every
+                # released checkpoint (docs/performance.md).
+                from cleanumamba_tpu.ops.pallas.stream_mega import pack_mega
+
+                mega = pack_mega(view(self.params), cfg, cdt)
+                if mega is not None:
+                    fused = "mega"
+                    self._pack_arrays, mega_meta = mega
+        if fused == "mega" and mega_meta is None:
             # Whole-frame single-kernel path (small released models; see
             # ops/pallas/stream_mega.py).  Packs from the dense view so
             # int8/bf16 storage modes work too.
@@ -638,7 +655,7 @@ class Streamer:
                     "fused='mega': model does not meet the mega-kernel's "
                     "static constraints (see pack_mega)")
             self._pack_arrays, mega_meta = mega
-        elif fused:
+        elif fused and fused != "mega":
             from cleanumamba_tpu.ops.pallas.stream_fused import pack_stream_params
 
             # Measured policy (docs/performance.md block=1 table): fp32 fuses
@@ -648,6 +665,10 @@ class Streamer:
             budget = (10 if weights == "fp32" else 1) * 1024 * 1024
             self._pack_arrays, pack_meta = pack_stream_params(
                 self.params, cfg, cdt, budget=budget)
+        # resolved single-frame path, for introspection/tests:
+        # "mega" (whole-frame kernel) | "fused" (per-level kernels) | "xla"
+        self.fused_mode = ("mega" if mega_meta is not None
+                           else "fused" if pack_meta is not None else "xla")
         self._prime = jax.jit(lambda p, f: stream_prime(view(p), cfg, f, dtype))
         if mega_meta is not None:
             self._step = jax.jit(

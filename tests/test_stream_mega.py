@@ -110,6 +110,27 @@ def test_streamer_mega_offline_equivalence(params):
                                atol=1e-3, rtol=1e-3)
 
 
+def test_streamer_auto_prefers_mega(params, monkeypatch):
+    """fused='auto' on TPU resolves to the mega kernel when the model packs
+    (fastest + most accurate measured path), per-level fusion otherwise, and
+    stays on XLA for int8 / no-Pallas backends.  Policy only — nothing is
+    executed (jit is lazy), so the probe runs fine on CPU."""
+    monkeypatch.setattr(
+        "cleanumamba_tpu.ops.pallas.selective_scan.pallas_available",
+        lambda: True)
+    assert Streamer(params, CFG).fused_mode == "mega"
+    assert Streamer(params, CFG, weights="int8").fused_mode == "xla"
+    big_cfg = CleanUMambaConfig(
+        channels_H=64, max_H=768, encoder_n_layers=2,
+        tsfm_n_head=8, tsfm_d_model=512, tsfm_d_inner=2048)
+    pbig = init_params(jax.random.PRNGKey(1), big_cfg)
+    assert Streamer(pbig, big_cfg).fused_mode == "fused"
+    monkeypatch.setattr(
+        "cleanumamba_tpu.ops.pallas.selective_scan.pallas_available",
+        lambda: False)
+    assert Streamer(params, CFG).fused_mode == "xla"
+
+
 @pytest.mark.parametrize("kind", ["mamba2", "lstm", "mamba_s4", "mha"])
 def test_mega_step_equals_xla_mamba2(params, kind):
     cfg = CleanUMambaConfig(

@@ -69,9 +69,14 @@ from jax.experimental.pallas import tpu as pltpu
 from cleanumamba_tpu.ops.pallas.stream_fused import _ACTS
 
 _LANE = 128
-# ~16 MiB scoped VMEM minus activation/accumulator headroom (the biggest
-# live activation at E8 is the level-0 window product, <1 MiB)
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Packed weights must fit scoped VMEM alongside activation/accumulator
+# headroom (the biggest live activation at E8 is the level-0 window
+# product, <1 MiB).  mega_stream_step raises Mosaic's scoped-VMEM cap to
+# 64 MiB (validated compiled on every released checkpoint incl. the
+# 17.98 MiB-stack S4 family), so the budget is set well inside that:
+# 24 MiB lets every released pruned model — including the 2M chain —
+# pack fp32.
+_VMEM_BUDGET = 24 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------

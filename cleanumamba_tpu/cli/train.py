@@ -31,6 +31,7 @@ from cleanumamba_tpu.train.checkpoint import (
     save_checkpoint,
 )
 from cleanumamba_tpu.train.trainer import (
+    make_device_data_steps,
     make_optimizer,
     make_train_step,
     shard_train_step,
@@ -46,7 +47,16 @@ def main(argv=None):
                     help="use the synthetic dataset (no DNS download needed)")
     ap.add_argument("--max-iters", type=int, default=None)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--device-data", type=int, default=0, metavar="K",
+                    help="synthetic batches generated ON device, K train "
+                         "steps fused per dispatch (trainer."
+                         "make_device_data_steps; implies --synthetic, "
+                         "single-device only)")
     args = ap.parse_args(argv)
+    if args.device_data:
+        args.synthetic = True
+        if args.log_every % args.device_data:
+            ap.error("--log-every must be a multiple of --device-data")
 
     tc = load_train_config(args.config)
     network, cfg, raw_exp = load_experiment_config(args.exp)
@@ -89,7 +99,20 @@ def main(argv=None):
                                  run_id=run_id, config=raw_exp)
     run_id = sink.run_id
 
-    if n_devices > 1:
+    stepper = None
+    if args.device_data:
+        if n_devices > 1:
+            raise SystemExit("--device-data is single-device (compose with "
+                             "shard_map not implemented)")
+        raw_step = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
+                                   remat=opt.remat)
+        L0 = int(tc.crop_length_sec * tc.sample_rate)
+        stepper = make_device_data_steps(
+            raw_step, per_step_batch, L0, args.device_data, accum=accum)
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    elif n_devices > 1:
         step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
                                   axis_name="data", remat=opt.remat)
         mesh = make_mesh()
@@ -122,14 +145,23 @@ def main(argv=None):
     t0 = time.time() - t_prev
     L = int(tc.crop_length_sec * tc.sample_rate)
     max_iters = args.max_iters or opt.n_iters
+    key = jax.random.PRNGKey(1234 + start_iter)
+    crossed = lambda every: (n_iter // every) > ((n_iter - stride) // every)  # noqa: E731
     with ctx:
         while n_iter < max_iters:
-            clean, noisy = next(loader)
-            clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
-            noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
-            params, opt_state, aux = step_fn(params, opt_state, (clean, noisy))
+            if stepper is not None:
+                key, sub = jax.random.split(key)
+                params, opt_state, aux = stepper(params, opt_state, sub)
+                stride = args.device_data
+                n_iter += stride - 1  # land on the last fused iter
+            else:
+                stride = 1
+                clean, noisy = next(loader)
+                clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
+                noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
+                params, opt_state, aux = step_fn(params, opt_state, (clean, noisy))
 
-            if n_iter % args.log_every == 0:
+            if crossed(args.log_every) or n_iter == start_iter:
                 print(
                     f"iter {n_iter}: loss={float(aux['loss']):.4f} "
                     f"rec={float(aux['reconstruct']):.4f} "
@@ -141,13 +173,13 @@ def main(argv=None):
                 )
                 sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,
                          kind="train")
-            if n_iter % tc.iters_per_valid == 0 and n_iter > 0:
+            if crossed(tc.iters_per_valid) and n_iter >= tc.iters_per_valid:
                 metrics = validate(params, cfg, val_ds,
                                    max_items=tc.valid_max_items, pad_to=L)
                 print(f"iter {n_iter}: valid " + " ".join(
                     f"{k}={v:.3f}" for k, v in metrics.items()))
                 sink.log(metrics, step=n_iter, kind="valid")
-            if n_iter % tc.iters_per_ckpt == 0 and n_iter > 0:
+            if crossed(tc.iters_per_ckpt) and n_iter >= tc.iters_per_ckpt:
                 path = save_checkpoint(
                     ckpt_dir, n_iter, params, opt_state, cfg, run_id=run_id,
                     training_time_seconds=time.time() - t0,

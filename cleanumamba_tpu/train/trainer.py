@@ -150,6 +150,48 @@ def make_train_step(
     return train_step
 
 
+def make_device_data_steps(step_fn, batch: int, length: int, k_steps: int,
+                           accum: int = 1, sr: int = 16000,
+                           snr=(0.0, 15.0)) -> Callable:
+    """Fuse K whole train steps into ONE device dispatch, with every batch
+    synthesized ON DEVICE (data/synth_device.py) from a folded PRNG key.
+
+    Through this environment's tunnelled TPU, the per-step host->device
+    batch transfer (~5 MB for batch 2 x 10 s) costs ~10x the 30 ms compute
+    of the step itself; host-side data generation is cheap (~17 ms) but
+    shipping it is not.  Scanning the step over on-device-generated batches
+    removes the traffic entirely and amortises the dispatch round-trip over
+    ``k_steps`` iterations — the synthetic-data equivalent of an on-device
+    input pipeline.  No reference counterpart (its data path is a torch
+    DataLoader over wav files, src/dataset.py); real DNS/VCTK material
+    keeps the host loader.
+
+    ``step_fn`` must be the UNJITTED callable from :func:`make_train_step`.
+    Returns stepper(params, opt_state, key) -> (params, opt_state, aux) —
+    jitted, params/opt_state donated, aux from the LAST of the K steps
+    (matching what per-iter logging would have printed).
+    """
+    from cleanumamba_tpu.data.synth_device import synth_batch
+
+    def body(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        clean, noisy = synth_batch(sub, batch * accum, length, sr,
+                                   float(snr[0]), float(snr[1]))
+        shape = (accum, batch, length)
+        params, opt_state, aux = step_fn(
+            params, opt_state, (clean.reshape(shape), noisy.reshape(shape)))
+        return (params, opt_state, key), aux
+
+    def stepper(params, opt_state, key):
+        (params, opt_state, _), auxs = jax.lax.scan(
+            body, (params, opt_state, key), None, length=k_steps)
+        aux = {k: v[-1] for k, v in auxs.items()}
+        return params, opt_state, aux
+
+    return jax.jit(stepper, donate_argnums=(0, 1))
+
+
 def shard_train_step(train_step, mesh: Mesh, axis_name: str = "data"):
     """Data-parallel step over the mesh via ``shard_map``: batch sharded on
     ``axis_name``, params replicated, the gradient pmean riding ICI.

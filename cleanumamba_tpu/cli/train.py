@@ -101,17 +101,22 @@ def main(argv=None):
 
     stepper = None
     if args.device_data:
-        if n_devices > 1:
-            raise SystemExit("--device-data is single-device (compose with "
-                             "shard_map not implemented)")
-        raw_step = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
-                                   remat=opt.remat)
         L0 = int(tc.crop_length_sec * tc.sample_rate)
-        stepper = make_device_data_steps(
-            raw_step, per_step_batch, L0, args.device_data, accum=accum)
-        import contextlib
+        if n_devices > 1:
+            raw_step = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
+                                       axis_name="data", remat=opt.remat)
+            ctx = mesh = make_mesh()
+            stepper = make_device_data_steps(
+                raw_step, opt.batch_size_per_device, L0, args.device_data,
+                accum=accum, mesh=mesh)
+        else:
+            raw_step = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
+                                       remat=opt.remat)
+            stepper = make_device_data_steps(
+                raw_step, per_step_batch, L0, args.device_data, accum=accum)
+            import contextlib
 
-        ctx = contextlib.nullcontext()
+            ctx = contextlib.nullcontext()
     elif n_devices > 1:
         step_fn = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
                                   axis_name="data", remat=opt.remat)

@@ -152,7 +152,8 @@ def make_train_step(
 
 def make_device_data_steps(step_fn, batch: int, length: int, k_steps: int,
                            accum: int = 1, sr: int = 16000,
-                           snr=(0.0, 15.0)) -> Callable:
+                           snr=(0.0, 15.0), mesh: Optional[Mesh] = None,
+                           axis_name: str = "data") -> Callable:
     """Fuse K whole train steps into ONE device dispatch, with every batch
     synthesized ON DEVICE (data/synth_device.py) from a folded PRNG key.
 
@@ -170,12 +171,21 @@ def make_device_data_steps(step_fn, batch: int, length: int, k_steps: int,
     Returns stepper(params, opt_state, key) -> (params, opt_state, aux) —
     jitted, params/opt_state donated, aux from the LAST of the K steps
     (matching what per-iter logging would have printed).
+
+    Multi-chip: pass ``mesh`` (and build ``step_fn`` with the matching
+    ``axis_name`` so its gradients pmean in-step).  The whole K-step scan
+    runs under ``shard_map`` with params replicated; each device folds its
+    ``axis_index`` into the batch key and synthesizes its LOCAL ``batch``
+    items on itself — data-parallel training with no data movement at all,
+    host or ICI (only the gradient pmean rides the interconnect).
     """
     from cleanumamba_tpu.data.synth_device import synth_batch
 
     def body(carry, _):
         params, opt_state, key = carry
         key, sub = jax.random.split(key)
+        if mesh is not None:
+            sub = jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
         clean, noisy = synth_batch(sub, batch * accum, length, sr,
                                    float(snr[0]), float(snr[1]))
         shape = (accum, batch, length)
@@ -189,6 +199,13 @@ def make_device_data_steps(step_fn, batch: int, length: int, k_steps: int,
         aux = {k: v[-1] for k, v in auxs.items()}
         return params, opt_state, aux
 
+    if mesh is not None:
+        from jax.experimental.shard_map import shard_map
+
+        stepper = shard_map(stepper, mesh=mesh,
+                            in_specs=(P(), P(), P()),
+                            out_specs=(P(), P(), P()),
+                            check_rep=False)
     return jax.jit(stepper, donate_argnums=(0, 1))
 
 

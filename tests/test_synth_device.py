@@ -72,3 +72,30 @@ def test_device_data_steps_match_manual_loop():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_device_data_steps_sharded():
+    """8-device DP composition: each device synthesizes its local batch from
+    its axis-folded key, gradients pmean in-step; params stay replicated and
+    the fused scan advances K iterations in one dispatch."""
+    from cleanumamba_tpu.parallel.mesh import make_mesh
+
+    cfg = CleanUMambaConfig(
+        channels_H=8, max_H=16, encoder_n_layers=4,
+        tsfm_n_layers=1, tsfm_n_head=2, tsfm_d_model=16, tsfm_d_inner=32)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(OptimizationConfig(learning_rate=1e-4))
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, LossConfig(), optimizer, bf16=False,
+                           axis_name="data")
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    before = [np.asarray(x) for x in jax.tree_util.tree_leaves(params)]
+    stepper = make_device_data_steps(step, 1, FS, 2, mesh=mesh)
+    p1, o1, aux = stepper(params, opt_state, jax.random.PRNGKey(3))
+    loss = float(aux["loss"])
+    assert np.isfinite(loss) and loss > 0
+    # params changed and remained fully addressable/replicated
+    moved = sum(float(np.abs(np.asarray(a) - b).max())
+                for a, b in zip(jax.tree_util.tree_leaves(p1), before))
+    assert moved > 0

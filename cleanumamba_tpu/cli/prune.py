@@ -101,7 +101,17 @@ def main(argv=None):
     sink.log({"stopped": stopped, "final_params": count_params(params)},
              kind="summary")
     sink.close()
-    print(f"stopped: {stopped} | final params {count_params(params)/1e6:.3f}M")
+    # always bank the FINAL pruned params: stop conditions (prune_steps,
+    # stoi_stop, min_total_channels) usually fire inside a pruning phase,
+    # between the training_done boundaries the periodic checkpoints land on
+    # — without this the last prune events exist only in memory
+    last = history[-1]["n_iter"] if history else start_iter
+    from cleanumamba_tpu.train.checkpoint import save_checkpoint
+
+    path = save_checkpoint(ckpt_dir, last, params, opt_state,
+                           cfg, run_id=run_id)
+    print(f"stopped: {stopped} | final params {count_params(params)/1e6:.3f}M "
+          f"| saved {path}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,345 @@
+"""Tensor (model) parallelism for CleanUMamba over a named mesh axis.
+
+Beyond the reference (which distributes with DDP only,
+/root/reference/src/training/train_distributed.py): Megatron-style
+intra-layer sharding, laid out so every U-Net level costs exactly ONE
+``psum`` and every mamba block exactly TWO, all riding ICI:
+
+- **Encoder level** (strided conv -> ReLU -> 1x1 -> GLU): the strided conv
+  is column-parallel over its ``H`` output channels (each device holds a
+  ``(K, Cin, H/n)`` weight slab and produces its own channel slice), the
+  1x1 mix is row-parallel over the same ``H`` (partial products ->
+  ``psum``), and the GLU runs replicated.  One psum of the ``(B, T, mix_out)``
+  activation per level; ``T`` halves per level so the collective traffic is
+  geometric.
+- **Mamba mixer**: ``in_proj`` column-parallel over ``2*d_inner`` (the x|z
+  halves are block-interleaved at prepare time so each device's contiguous
+  slice is ``[x_k | z_k]`` and the unmodified split/gate code is correct
+  locally), depthwise conv + SiLU + selective scan are elementwise in
+  ``d_inner`` and run fully local (the fp32 state shards with ``d_inner``),
+  ``x_proj`` is row-parallel (psum of the tiny ``dt_rank+2*d_state``
+  projection), ``dt_proj`` column-parallel, ``out_proj`` row-parallel
+  (psum of ``(B, T, d_model)``).  Norms and the fp32 residual stream stay
+  replicated.
+- **Decoder level** (1x1 -> GLU -> ConvT): the 1x1 mix is column-parallel
+  with its ``[bypass | A | B]`` GLU column structure block-interleaved so
+  the GLU gates locally, and the transposed conv is row-parallel over its
+  input channels -> one psum of the upsampled ``(B, 2T, Cout)`` output.
+
+Weights are genuinely sharded (``PartitionSpec`` on the parallel dim of
+each leaf — per-device parameter memory is ~1/n for the big matrices);
+activations entering/leaving each level are replicated on the model axis,
+which is the standard Megatron trade.  Composition with data parallelism
+is a 2-D mesh: batch sharded on ``data``, weights sharded on ``model``
+(see :func:`tp_forward`'s ``data_axis``).
+
+Implemented with ``shard_map`` (like the DP trainer) because GSPMD cannot
+partition ``pallas_call`` and we want the collectives placed exactly.
+
+Divisibility contract (checked in :func:`tp_prepare`): every encoder
+``H``, GLU pair width and bypass width, and the bottleneck ``d_inner``
+must divide the model-axis size.  The full-size released geometries
+(H = 32/48/64 doublings, d_inner = 2*d_model) satisfy this for n in
+{2, 4, 8}; ragged *pruned* checkpoints generally do not — tensor
+parallelism targets the large/training-time models, pruned deployment
+models stream on one chip (see docs/performance.md).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cleanumamba_tpu.config import CleanUMambaConfig
+from cleanumamba_tpu.ops.conv import (
+    causal_depthwise_conv,
+    conv1d_strided_matmul,
+    conv_transpose1d,
+    glu_activation,
+)
+from cleanumamba_tpu.ops.norms import layer_norm, rms_norm
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# Parameter preparation: block-interleave permutations + PartitionSpecs
+# --------------------------------------------------------------------------
+
+def _interleave_perm(sizes: List[int], n: int) -> np.ndarray:
+    """Index permutation so that contiguous block k (of n) of the permuted
+    axis holds ``[seg0_k | seg1_k | ...]`` where ``segi_k`` is the k-th
+    1/n slice of the i-th original contiguous segment."""
+    offs = np.cumsum([0] + list(sizes))[:-1]
+    idx = []
+    for k in range(n):
+        for sz, off in zip(sizes, offs):
+            m = sz // n
+            idx.extend(range(off + k * m, off + (k + 1) * m))
+    return np.asarray(idx, np.int64)
+
+
+def _check_div(name: str, value: int, n: int):
+    if value % n != 0:
+        raise ValueError(
+            f"tensor parallelism: {name}={value} not divisible by mesh axis "
+            f"size {n} (TP targets the full-size geometries; ragged pruned "
+            f"checkpoints stream single-chip)"
+        )
+
+
+def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
+               axis: str = "model") -> Tuple[Params, Any]:
+    """Return ``(params_tp, specs)``: the parameter pytree with GLU/x|z
+    column structures block-interleaved so a contiguous 1/n slice is locally
+    consistent, plus a matching pytree of ``PartitionSpec`` for shard_map.
+
+    Pure host-side reindexing — cheap, done once per (params, n).
+    """
+    if cfg.bottleneck != "mamba":
+        raise NotImplementedError(
+            f"tensor parallelism implemented for the mamba bottleneck "
+            f"(flagship family); got {cfg.bottleneck!r}"
+        )
+    rep = P()
+    out_p: Params = {}
+    out_s: Params = {}
+
+    D = len(params["encoder"])
+    enc_p, enc_s = [], []
+    for i, ep in enumerate(params["encoder"]):
+        if cfg.group_of_layer(i) != 1:
+            raise NotImplementedError("TP encoder requires groups == 1")
+        if cfg.kernel_size != 2 * cfg.stride:
+            raise NotImplementedError("TP encoder requires K == 2*S")
+        H = ep["conv_w"].shape[2]
+        _check_div(f"encoder[{i}].H", H, n)
+        enc_p.append(dict(ep))
+        enc_s.append({
+            "conv_w": P(None, None, axis),   # column-parallel out channels
+            "conv_b": P(axis),
+            "mix_w": P(None, axis, None),    # row-parallel over H
+            "mix_b": rep,                     # added once, after the psum
+        })
+    out_p["encoder"], out_s["encoder"] = enc_p, enc_s
+
+    if "residual_projection" in params:
+        out_p["residual_projection"] = params["residual_projection"]
+        out_s["residual_projection"] = jax.tree_util.tree_map(
+            lambda _: rep, params["residual_projection"]
+        )
+
+    out_p["tsfm_conv1"] = params["tsfm_conv1"]
+    out_s["tsfm_conv1"] = {"w": rep, "b": rep}
+    out_p["tsfm_conv2"] = params["tsfm_conv2"]
+    out_s["tsfm_conv2"] = {"w": rep, "b": rep}
+
+    layers_p, layers_s = [], []
+    for l, lp in enumerate(params["bottleneck"]["layers"]):
+        mx = lp["mixer"]
+        d_inner = mx["dt_proj_w"].shape[1]
+        _check_div(f"bottleneck[{l}].d_inner", d_inner, n)
+        perm_xz = _interleave_perm([d_inner, d_inner], n)
+        mx_p = dict(mx)
+        mx_p["in_proj"] = mx["in_proj"][:, perm_xz]
+        mx_s = {
+            "in_proj": P(None, axis),
+            "conv_w": P(None, axis),
+            "conv_b": P(axis),
+            "x_proj": P(axis, None),
+            "dt_proj_w": P(None, axis),
+            "dt_proj_b": P(axis),
+            "A_log": P(axis, None),
+            "D": P(axis),
+            "out_proj": P(axis, None),
+        }
+        layers_p.append({"norm": dict(lp["norm"]), "mixer": mx_p})
+        layers_s.append({
+            "norm": jax.tree_util.tree_map(lambda _: rep, lp["norm"]),
+            "mixer": mx_s,
+        })
+    out_p["bottleneck"] = {"layers": layers_p,
+                           "norm_f": dict(params["bottleneck"]["norm_f"])}
+    out_s["bottleneck"] = {
+        "layers": layers_s,
+        "norm_f": jax.tree_util.tree_map(
+            lambda _: rep, params["bottleneck"]["norm_f"]),
+    }
+
+    dec_p, dec_s = [], []
+    for j, dp in enumerate(params["decoder"]):
+        enc_i = D - 1 - j
+        bp = cfg.bypass_of_layer(enc_i)
+        mix_out = dp["mix_w"].shape[2]
+        nAB = (mix_out - bp) // 2
+        glu_out = bp + nAB  # == convt input channels
+        _check_div(f"decoder[{j}].bypass", bp, n)
+        _check_div(f"decoder[{j}].glu_pair", nAB, n)
+        perm_cols = _interleave_perm([bp, nAB, nAB], n)
+        perm_rows = _interleave_perm([bp, nAB], n)
+        assert dp["convt_w"].shape[1] == glu_out
+        dec_p.append({
+            "mix_w": dp["mix_w"][:, :, perm_cols],
+            "mix_b": dp["mix_b"][perm_cols],
+            "convt_w": dp["convt_w"][:, perm_rows, :],
+            "convt_b": dp["convt_b"],
+        })
+        dec_s.append({
+            "mix_w": P(None, None, axis),   # column-parallel (GLU-local)
+            "mix_b": P(axis),
+            "convt_w": P(None, axis, None),  # row-parallel over input chans
+            "convt_b": rep,                   # added once, after the psum
+        })
+    out_p["decoder"], out_s["decoder"] = dec_p, dec_s
+    return out_p, out_s
+
+
+# --------------------------------------------------------------------------
+# Local (per-device) forward with explicit collectives
+# --------------------------------------------------------------------------
+
+def _tp_encoder_level(p, x, cfg, i, axis):
+    x = conv1d_strided_matmul(x, p["conv_w"], p["conv_b"], stride=cfg.stride)
+    x = jax.nn.relu(x)
+    part = x @ p["mix_w"][0].astype(x.dtype)
+    full = lax.psum(part, axis) + p["mix_b"].astype(x.dtype)
+    return glu_activation(full, cfg.glu_activation, cfg.bypass_of_layer(i))
+
+
+def _tp_decoder_level(p, x, cfg, enc_i, relu, axis, n):
+    part = x @ p["mix_w"][0].astype(x.dtype) + p["mix_b"].astype(x.dtype)
+    # local GLU: bypass/A/B were block-interleaved, so the local slice is
+    # [bypass_k | A_k | B_k] and the per-device bypass width is bp/n
+    x = glu_activation(part, cfg.glu_activation,
+                       cfg.bypass_of_layer(enc_i) // n)
+    y = conv_transpose1d(x, p["convt_w"], None, stride=cfg.stride)
+    y = lax.psum(y, axis) + p["convt_b"].astype(y.dtype)
+    return jax.nn.relu(y) if relu else y
+
+
+def _tp_mixer_forward(p, x, axis, chunk, scan_impl):
+    """Local-shard mamba mixer (mirrors bottleneck_mamba.mixer_forward with
+    the two TP psums).  d_inner here is the LOCAL d_inner/n."""
+    dt_rank, m = p["dt_proj_w"].shape
+    d_state = (p["x_proj"].shape[1] - dt_rank) // 2
+    xz = x @ p["in_proj"].astype(x.dtype)   # (B, T, 2m) = [x_k | z_k]
+    xs, z = xz[..., :m], xz[..., m:]
+    xs = causal_depthwise_conv(xs, p["conv_w"], p["conv_b"])
+    xs = jax.nn.silu(xs)
+    dbc = lax.psum(xs @ p["x_proj"].astype(xs.dtype), axis)  # row-parallel
+    dt = dbc[..., :dt_rank] @ p["dt_proj_w"].astype(dbc.dtype) \
+        + p["dt_proj_b"].astype(dbc.dtype)
+    dt = jax.nn.softplus(dt.astype(jnp.float32))
+    B = dbc[..., dt_rank: dt_rank + d_state]
+    C = dbc[..., dt_rank + d_state:]
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+    h0 = jnp.zeros((xs.shape[0], m, d_state), jnp.float32)
+    if scan_impl == "pallas":
+        from cleanumamba_tpu.ops.pallas.selective_scan import selective_scan_auto
+        y, _ = selective_scan_auto(xs, dt, A, B, C, p["D"], h0, chunk)
+    else:
+        from cleanumamba_tpu.ops.scan import selective_scan_grad
+        y, _ = selective_scan_grad(xs, dt, A, B, C, p["D"], h0, chunk)
+    y = y * jax.nn.silu(z)
+    return lax.psum(y @ p["out_proj"].astype(y.dtype), axis)  # row-parallel
+
+
+def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl):
+    hidden = x
+    residual = None
+    for lp in params["layers"]:
+        residual = (
+            hidden.astype(jnp.float32) + residual
+            if residual is not None else hidden.astype(jnp.float32)
+        )
+        if cfg.rms_norm:
+            hidden = rms_norm(residual, lp["norm"]["scale"], cfg.norm_epsilon)
+        else:
+            hidden = layer_norm(residual, lp["norm"]["scale"],
+                                lp["norm"]["bias"], cfg.norm_epsilon)
+        hidden = hidden.astype(x.dtype)
+        hidden = _tp_mixer_forward(lp["mixer"], hidden, axis, chunk, scan_impl)
+    residual = hidden.astype(jnp.float32) + residual
+    nf = params["norm_f"]
+    if cfg.rms_norm:
+        out = rms_norm(residual, nf["scale"], cfg.norm_epsilon)
+    else:
+        out = layer_norm(residual, nf["scale"], nf["bias"], cfg.norm_epsilon)
+    return out.astype(x.dtype)
+
+
+def _tp_forward_local(params, noisy, cfg, axis, n, chunk, scan_impl):
+    """Per-device program; mirrors models.cleanumamba.forward exactly, with
+    the TP level/mixer variants (activations replicated on the model axis)."""
+    if noisy.ndim == 3:
+        noisy = noisy.reshape(noisy.shape[0], -1)
+    B, L = noisy.shape
+    x = noisy[..., None]
+    if cfg.normalize_input:
+        std = jnp.std(x, axis=1, keepdims=True) + 1e-3
+        x = x / std
+    Lv = cfg.valid_length(L)
+    x = jnp.pad(x, ((0, 0), (0, Lv - L), (0, 0)))
+
+    skips = []
+    for i, ep in enumerate(params["encoder"]):
+        x = _tp_encoder_level(ep, x, cfg, i, axis)
+        skips.append(x)
+    if cfg.residual_projection:
+        skips = [
+            s @ rp["w"][0].astype(s.dtype) + rp["b"].astype(s.dtype)
+            for s, rp in zip(skips, params["residual_projection"])
+        ]
+    skips = skips[::-1]
+
+    x = x @ params["tsfm_conv1"]["w"][0].astype(x.dtype) \
+        + params["tsfm_conv1"]["b"].astype(x.dtype)
+    x = _tp_bottleneck(params["bottleneck"], x, cfg, axis, chunk, scan_impl)
+    x = x @ params["tsfm_conv2"]["w"][0].astype(x.dtype) \
+        + params["tsfm_conv2"]["b"].astype(x.dtype)
+
+    n_dec = len(params["decoder"])
+    for j, dp in enumerate(params["decoder"]):
+        x = x + skips[j][:, : x.shape[1], :]
+        x = _tp_decoder_level(dp, x, cfg, n_dec - 1 - j,
+                              relu=(j != n_dec - 1), axis=axis, n=n)
+    y = x[:, :L, 0]
+    if cfg.normalize_input:
+        y = y * std[:, 0, :]
+    return y
+
+
+# --------------------------------------------------------------------------
+# Public entry points
+# --------------------------------------------------------------------------
+
+def tp_forward(params: Params, noisy, cfg: CleanUMambaConfig, mesh: Mesh,
+               axis: str = "model", data_axis: str | None = None,
+               chunk: int = 32, scan_impl: str = "auto"):
+    """Tensor-parallel offline forward over ``mesh[axis]``.
+
+    ``noisy``: (B, L).  With ``data_axis`` set (2-D mesh), the batch is
+    additionally sharded over that axis — full DP x TP composition.
+    Equals :func:`models.cleanumamba.forward` (tested at fp32 on a CPU
+    mesh, tests/test_tensor_parallel.py).
+    """
+    n = mesh.shape[axis]
+    if scan_impl == "auto":
+        from cleanumamba_tpu.ops.pallas.selective_scan import pallas_available
+        scan_impl = "pallas" if pallas_available() else "xla"
+    params_tp, specs = tp_prepare(params, cfg, n, axis)
+    x_spec = P(data_axis) if data_axis else P()
+    fn = shard_map(
+        partial(_tp_forward_local, cfg=cfg, axis=axis, n=n, chunk=chunk,
+                scan_impl=scan_impl),
+        mesh=mesh, in_specs=(specs, x_spec), out_specs=x_spec,
+        check_rep=False,
+    )
+    return fn(params_tp, noisy)

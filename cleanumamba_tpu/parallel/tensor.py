@@ -201,6 +201,30 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
     return out_p, out_s
 
 
+def tp_unprepare(params_tp: Params, cfg: CleanUMambaConfig, n: int) -> Params:
+    """Inverse of :func:`tp_prepare`'s column/row block-interleaving: turn a
+    (gathered) TP parameter pytree back into the canonical layout — e.g. to
+    bank a checkpoint after tensor-parallel training."""
+    out = jax.tree_util.tree_map(lambda x: x, params_tp)  # shallow copy
+    for l, lp in enumerate(out["bottleneck"]["layers"]):
+        mx = lp["mixer"]
+        d_inner = mx["dt_proj_w"].shape[1]
+        inv = np.argsort(_interleave_perm([d_inner, d_inner], n))
+        mx["in_proj"] = mx["in_proj"][:, inv]
+    D = len(out["encoder"])
+    for j, dp in enumerate(out["decoder"]):
+        enc_i = D - 1 - j
+        bp = cfg.bypass_of_layer(enc_i)
+        mix_out = dp["mix_w"].shape[2]
+        nAB = (mix_out - bp) // 2
+        inv_c = np.argsort(_interleave_perm([bp, nAB, nAB], n))
+        inv_r = np.argsort(_interleave_perm([bp, nAB], n))
+        dp["mix_w"] = dp["mix_w"][:, :, inv_c]
+        dp["mix_b"] = dp["mix_b"][inv_c]
+        dp["convt_w"] = dp["convt_w"][:, inv_r, :]
+    return out
+
+
 # --------------------------------------------------------------------------
 # Local (per-device) forward with explicit collectives
 # --------------------------------------------------------------------------
@@ -343,3 +367,147 @@ def tp_forward(params: Params, noisy, cfg: CleanUMambaConfig, mesh: Mesh,
         check_rep=False,
     )
     return fn(params_tp, noisy)
+
+
+# --------------------------------------------------------------------------
+# Tensor-parallel training
+# --------------------------------------------------------------------------
+
+def _is_replicated(spec) -> bool:
+    return all(e is None for e in spec)
+
+
+def _opt_specs_like(opt_state, params_tp, specs):
+    """PartitionSpecs for an optax state: any sub-tree that mirrors the
+    params structure (adam mu/nu) gets the param specs; scalar counts P()."""
+    pdef = jax.tree_util.tree_structure(params_tp)
+
+    def is_param_like(x):
+        try:
+            return jax.tree_util.tree_structure(x) == pdef
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda x: specs if is_param_like(x) else P(),
+        opt_state, is_leaf=is_param_like,
+    )
+
+
+def make_tp_train_step(cfg: CleanUMambaConfig, loss_cfg, opt_cfg, mesh: Mesh,
+                       axis: str = "model", data_axis: str | None = None,
+                       bf16: bool = True, chunk: int = 32,
+                       scan_impl: str = "xla"):
+    """Tensor-parallel (optionally x data-parallel) train step.
+
+    Returns ``(prepare, step)``:
+
+    - ``prepare(params) -> (params_tp, opt_state, specs)`` — permutes +
+      sharding-specs the params (:func:`tp_prepare`) and inits the optimizer
+      on them (adam moments shard with their parameters, so optimizer memory
+      is also ~1/n per device).
+    - ``step(params_tp, opt_state, (clean, noisy)) -> (params_tp, opt_state,
+      aux)`` — jitted shard_map step.  ``clean/noisy``: (B, L), batch
+      sharded over ``data_axis`` when given.
+
+    Gradient correctness under TP (tested against the single-device step,
+    tests/test_tensor_parallel.py):
+
+    - the differentiated scalar is the LOCAL loss divided by n.  Inside
+      shard_map, value_and_grad seeds every device's output cotangent with
+      1, so (with psum's self-adjoint transpose) AD computes the gradient
+      of the SUM of the per-device outputs.  The local loss is already the
+      full loss L on every device (the forward ends in activation psums),
+      so sum_k(L/n) = L and every sharded leaf's gradient is exactly its
+      true shard.  (Seeding ``psum(loss)/n`` instead — the "obvious"
+      Megatron transcription — differentiates sum_k psum(L)/n = n*L and
+      inflates every gradient by n; Adam's scale invariance hides that in
+      the params but the grad norm and the clip threshold are n* off.);
+    - gradients of REPLICATED leaves (norms, tsfm convs, post-psum biases)
+      are partial per device (each device only sees the adjoint path through
+      its own weight shard) and are psum'd over the model axis;
+    - grad-norm clipping uses the true global norm: per-shard square sums
+      are psum'd over the model axis before adding the replicated leaves'
+      squares (a plain ``optax.global_norm`` on local shards would clip
+      device-dependently and de-synchronize the replicated params).
+    """
+    import dataclasses as _dc
+
+    import optax
+
+    from cleanumamba_tpu.losses import loss_fn as _loss_fn
+    from cleanumamba_tpu.train.trainer import make_optimizer
+
+    n = mesh.shape[axis]
+    max_norm = float(opt_cfg.clip_grad_norm_max)
+    # clipping is done manually (TP-aware norm); the chain must not re-clip
+    optimizer = make_optimizer(_dc.replace(opt_cfg, clip_grad_norm_max=1e30))
+
+    def make(params):
+        params_tp, specs = tp_prepare(params, cfg, n, axis)
+        opt_state = optimizer.init(params_tp)
+        opt_specs = _opt_specs_like(opt_state, params_tp, specs)
+        is_p = lambda x: isinstance(x, P)  # noqa: E731
+        flat_specs = jax.tree_util.tree_leaves(specs, is_leaf=is_p)
+
+        def _over_leaves(fn, grads):
+            """Map fn(grad_leaf, spec_leaf) over grads; leaf order matches
+            because specs mirrors the params structure exactly."""
+            leaves, treedef = jax.tree_util.tree_flatten(grads)
+            assert len(leaves) == len(flat_specs)
+            return jax.tree_util.tree_unflatten(
+                treedef, [fn(g, s) for g, s in zip(leaves, flat_specs)])
+
+        def local_step(p_tp, opt_state, batch):
+            clean, noisy = batch
+
+            def loss_f(p):
+                pp, nz = p, noisy
+                if bf16:
+                    pp = jax.tree_util.tree_map(
+                        lambda x: x.astype(jnp.bfloat16)
+                        if x.dtype == jnp.float32 else x, p)
+                    nz = noisy.astype(jnp.bfloat16)
+                y = _tp_forward_local(pp, nz, cfg, axis, n, chunk, scan_impl)
+                loss, aux = _loss_fn(y.astype(jnp.float32),
+                                     clean.astype(jnp.float32), loss_cfg)
+                return loss / n, aux
+
+            (_, aux), grads = jax.value_and_grad(loss_f, has_aux=True)(p_tp)
+            # replicated leaves: each device holds a PARTIAL grad (only its
+            # own shard's adjoint path) -> all-reduce over the model axis
+            grads = _over_leaves(
+                lambda g, s: lax.psum(g, axis) if _is_replicated(s) else g,
+                grads)
+            if data_axis is not None:
+                grads = lax.pmean(grads, data_axis)
+                aux = lax.pmean(aux, data_axis)
+            # true global grad norm: shard squares psum over model
+            gflat = jax.tree_util.tree_leaves(grads)
+            sq_sh = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g, s in zip(gflat, flat_specs)
+                        if not _is_replicated(s))
+            sq_rep = sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                         for g, s in zip(gflat, flat_specs)
+                         if _is_replicated(s))
+            norm = jnp.sqrt(lax.psum(sq_sh, axis) + sq_rep)
+            scale = jnp.where(norm > max_norm, max_norm / (norm + 1e-12), 1.0)
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            updates, new_opt = optimizer.update(grads, opt_state, p_tp)
+            new_p = optax.apply_updates(p_tp, updates)
+            aux = dict(aux)
+            aux["grad_norm"] = norm
+            aux["grads_finite"] = jnp.isfinite(norm)
+            return new_p, new_opt, aux
+
+        b_spec = P(data_axis) if data_axis else P()
+        stepped = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(specs, opt_specs, (b_spec, b_spec)),
+            out_specs=(specs, opt_specs, P()),
+            check_rep=False,
+        )
+        step = jax.jit(stepped, donate_argnums=(0, 1))
+        return params_tp, opt_state, step
+
+    return make

@@ -89,3 +89,96 @@ def test_tp_rejects_non_mamba():
     params = init_params(jax.random.PRNGKey(0), cfg)
     with pytest.raises(NotImplementedError):
         tp_prepare(params, cfg, 2)
+
+
+def _train_setup():
+    from cleanumamba_tpu.config import (LossConfig, OptimizationConfig,
+                                        STFTLossConfig)
+    cfg = CleanUMambaConfig(**TINY)
+    loss_cfg = LossConfig(stft_config=STFTLossConfig(
+        fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,)))
+    opt_cfg = OptimizationConfig(n_iters=100, bf16=False,
+                                 clip_grad_norm_max=10.0)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(7)
+    clean = jnp.asarray(rng.normal(size=(4, 801)).astype(np.float32) * 0.3)
+    noisy = clean + 0.1 * jnp.asarray(
+        rng.normal(size=(4, 801)).astype(np.float32))
+    return cfg, loss_cfg, opt_cfg, params, clean, noisy
+
+
+def _ref_steps(cfg, loss_cfg, opt_cfg, params, clean, noisy, n_steps):
+    from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
+    optimizer = make_optimizer(opt_cfg)
+    step = make_train_step(cfg, loss_cfg, optimizer, bf16=False)
+    opt_state = optimizer.init(params)
+    aux = None
+    for _ in range(n_steps):
+        params, opt_state, aux = step(params, opt_state,
+                                      (clean[None], noisy[None]))
+    return params, aux
+
+
+def test_tp_grads_match_single_device():
+    """The TP backward is EXACT: per-leaf gradients through the shard_map'd
+    forward (tp_prepare is inside tp_forward and differentiable, so grads
+    come back in canonical layout) match the plain forward's at fp32
+    reassociation noise.  This pins the gradient math itself — the psum
+    transposes, the replicated-leaf partial-grad structure — independent of
+    any optimizer."""
+    from cleanumamba_tpu.losses import loss_fn
+    cfg, loss_cfg, _, params, clean, noisy = _train_setup()
+    mesh = _mesh((4,), ("model",))
+
+    def ref_loss(p):
+        return loss_fn(forward(p, noisy, cfg, scan_impl="xla"),
+                       clean, loss_cfg)[0]
+
+    def tp_loss(p):
+        return loss_fn(tp_forward(p, noisy, cfg, mesh, scan_impl="xla"),
+                       clean, loss_cfg)[0]
+
+    l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+    l_tp, g_tp = jax.value_and_grad(tp_loss)(params)
+    assert abs(float(l_ref) - float(l_tp)) < 1e-5
+    worst = max(_rel(t, r) for t, r in zip(jax.tree_util.tree_leaves(g_tp),
+                                           jax.tree_util.tree_leaves(g_ref)))
+    assert worst < 1e-4, worst
+
+
+@pytest.mark.parametrize("data_axis", [None, "data"])
+def test_tp_train_step_matches_single_device(data_axis):
+    """TP (and DP x TP) training == the single-device step: same params
+    after 2 updates (pins the replicated-grad psum, the psum(loss)/n
+    seeding, and the TP-aware global-norm clip).
+
+    Param tolerance is 2e-3, looser than the 1e-4-level gradient agreement
+    (test_tp_grads_match_single_device), because Adam amplifies noise:
+    elements whose true gradient is at fp32-reassociation noise level
+    (~1e-5 relative, e.g. dt_proj with |g|~1e-7) can flip sign between the
+    two computations, and Adam's step-1 update is +-lr regardless of
+    gradient magnitude — so those elements diverge by up to 2*lr per step.
+    Loss and grad-norm stay tight."""
+    from cleanumamba_tpu.parallel.tensor import make_tp_train_step, tp_unprepare
+    cfg, loss_cfg, opt_cfg, params, clean, noisy = _train_setup()
+    ref_params, ref_aux = _ref_steps(cfg, loss_cfg, opt_cfg, params,
+                                     clean, noisy, 2)
+
+    if data_axis:
+        mesh = _mesh((2, 4), ("data", "model"))
+    else:
+        mesh = _mesh((4,), ("model",))
+    make = make_tp_train_step(cfg, loss_cfg, opt_cfg, mesh,
+                              data_axis=data_axis, bf16=False)
+    p_tp, opt_state, step = make(params)
+    aux = None
+    for _ in range(2):
+        p_tp, opt_state, aux = step(p_tp, opt_state, (clean, noisy))
+    got = tp_unprepare(jax.device_get(p_tp), cfg, 4)
+
+    flat_ref = jax.tree_util.tree_leaves(ref_params)
+    flat_got = jax.tree_util.tree_leaves(got)
+    worst = max(_rel(g, r) for g, r in zip(flat_got, flat_ref))
+    assert worst < 2e-3, worst
+    assert abs(float(aux["loss"]) - float(ref_aux["loss"])) < 1e-4
+    assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4

@@ -52,11 +52,19 @@ def main(argv=None):
                          "steps fused per dispatch (trainer."
                          "make_device_data_steps; implies --synthetic, "
                          "single-device only)")
+    ap.add_argument("--model-parallel", type=int, default=1, metavar="M",
+                    help="shard weights over M devices (Megatron-style TP, "
+                         "parallel/tensor.py); remaining devices form the "
+                         "data axis. Checkpoints are banked in canonical "
+                         "(single-device) layout, so TP runs interoperate "
+                         "with every other CLI.")
     args = ap.parse_args(argv)
     if args.device_data:
         args.synthetic = True
         if args.log_every % args.device_data:
             ap.error("--log-every must be a multiple of --device-data")
+        if args.model_parallel > 1:
+            ap.error("--device-data and --model-parallel are exclusive")
 
     tc = load_train_config(args.config)
     network, cfg, raw_exp = load_experiment_config(args.exp)
@@ -65,8 +73,16 @@ def main(argv=None):
 
     opt = tc.optimization
     n_devices = len(jax.devices())
-    per_step_batch = opt.batch_size_per_device * n_devices
+    tp = args.model_parallel
+    if n_devices % tp:
+        ap.error(f"--model-parallel {tp} does not divide {n_devices} devices")
+    dp_devices = n_devices // tp
+    per_step_batch = opt.batch_size_per_device * dp_devices
     accum = max(1, opt.batch_size_total // per_step_batch)
+    if tp > 1 and accum > 1:
+        print(f"NOTE: TP step has no in-jit accumulation; accum {accum} -> 1 "
+              f"(effective batch {per_step_batch})")
+        accum = 1
 
     print(f"model: {network} ({cfg.bottleneck}) | devices: {n_devices} | "
           f"batch/step: {per_step_batch} x accum {accum}")
@@ -100,7 +116,45 @@ def main(argv=None):
     run_id = sink.run_id
 
     stepper = None
-    if args.device_data:
+    tp_mode = tp > 1
+    bank_params = lambda p: p  # noqa: E731 — canonical-layout view for ckpt/valid
+    bank_opt = lambda s: s  # noqa: E731
+    if tp_mode:
+        import contextlib
+
+        import numpy as np
+        from jax.sharding import Mesh
+
+        from cleanumamba_tpu.parallel.tensor import (
+            make_tp_train_step,
+            tp_opt_state_like,
+            tp_unprepare,
+        )
+
+        if dp_devices > 1:
+            mesh = Mesh(np.array(jax.devices()).reshape(dp_devices, tp),
+                        ("data", "model"))
+            data_axis = "data"
+        else:
+            mesh = Mesh(np.array(jax.devices()), ("model",))
+            data_axis = None
+        make = make_tp_train_step(cfg, tc.loss, opt, mesh,
+                                  data_axis=data_axis, bf16=opt.bf16)
+        params_tp, fresh_opt, step_fn = make(params)
+        # carry (possibly resumed) canonical moments into the TP layout; a
+        # fresh opt_state permutes to itself (zeros + count), so this is
+        # unconditional
+        opt_state = jax.tree_util.tree_map(
+            lambda ref, v: jnp.asarray(v), fresh_opt,
+            tp_opt_state_like(opt_state, params_tp, cfg, tp))
+        params = params_tp
+        bank_params = lambda p: tp_unprepare(jax.device_get(p), cfg, tp)  # noqa: E731
+        bank_opt = lambda s: tp_opt_state_like(  # noqa: E731
+            jax.device_get(s), params, cfg, tp, inverse=True)
+        ctx = contextlib.nullcontext()
+        print(f"tensor parallel: weights over {tp} devices"
+              + (f" x data over {dp_devices}" if dp_devices > 1 else ""))
+    elif args.device_data:
         L0 = int(tc.crop_length_sec * tc.sample_rate)
         if n_devices > 1:
             raw_step = make_train_step(cfg, tc.loss, optimizer, bf16=opt.bf16,
@@ -162,8 +216,12 @@ def main(argv=None):
             else:
                 stride = 1
                 clean, noisy = next(loader)
-                clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
-                noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
+                if tp_mode:  # TP step takes (B, L), no accum leading axis
+                    clean = jnp.asarray(clean.reshape(per_step_batch, L))
+                    noisy = jnp.asarray(noisy.reshape(per_step_batch, L))
+                else:
+                    clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
+                    noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
                 params, opt_state, aux = step_fn(params, opt_state, (clean, noisy))
 
             if crossed(args.log_every) or n_iter == start_iter:
@@ -179,20 +237,22 @@ def main(argv=None):
                 sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,
                          kind="train")
             if crossed(tc.iters_per_valid) and n_iter >= tc.iters_per_valid:
-                metrics = validate(params, cfg, val_ds,
+                metrics = validate(bank_params(params), cfg, val_ds,
                                    max_items=tc.valid_max_items, pad_to=L)
                 print(f"iter {n_iter}: valid " + " ".join(
                     f"{k}={v:.3f}" for k, v in metrics.items()))
                 sink.log(metrics, step=n_iter, kind="valid")
             if crossed(tc.iters_per_ckpt) and n_iter >= tc.iters_per_ckpt:
                 path = save_checkpoint(
-                    ckpt_dir, n_iter, params, opt_state, cfg, run_id=run_id,
+                    ckpt_dir, n_iter, bank_params(params), bank_opt(opt_state),
+                    cfg, run_id=run_id,
                     training_time_seconds=time.time() - t0,
                 )
                 print(f"saved {path}")
             n_iter += 1
 
-    save_checkpoint(ckpt_dir, n_iter - 1, params, opt_state, cfg, run_id=run_id,
+    save_checkpoint(ckpt_dir, n_iter - 1, bank_params(params),
+                    bank_opt(opt_state), cfg, run_id=run_id,
                     training_time_seconds=time.time() - t0)
     sink.close()
 

@@ -201,28 +201,63 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
     return out_p, out_s
 
 
-def tp_unprepare(params_tp: Params, cfg: CleanUMambaConfig, n: int) -> Params:
-    """Inverse of :func:`tp_prepare`'s column/row block-interleaving: turn a
-    (gathered) TP parameter pytree back into the canonical layout — e.g. to
-    bank a checkpoint after tensor-parallel training."""
-    out = jax.tree_util.tree_map(lambda x: x, params_tp)  # shallow copy
+def tp_permute_like(tree: Params, cfg: CleanUMambaConfig, n: int,
+                    inverse: bool = False) -> Params:
+    """Apply :func:`tp_prepare`'s column/row block-interleaving (or, with
+    ``inverse=True``, undo it) to any pytree with the canonical params
+    STRUCTURE — the params themselves, or Adam's mu/nu moments (their leaves
+    have the same shapes, so the same permutations apply).  Pure host-side
+    reindexing."""
+    out = jax.tree_util.tree_map(lambda x: x, tree)  # shallow copy
     for l, lp in enumerate(out["bottleneck"]["layers"]):
         mx = lp["mixer"]
         d_inner = mx["dt_proj_w"].shape[1]
-        inv = np.argsort(_interleave_perm([d_inner, d_inner], n))
-        mx["in_proj"] = mx["in_proj"][:, inv]
+        perm = _interleave_perm([d_inner, d_inner], n)
+        if inverse:
+            perm = np.argsort(perm)
+        mx["in_proj"] = mx["in_proj"][:, perm]
     D = len(out["encoder"])
     for j, dp in enumerate(out["decoder"]):
         enc_i = D - 1 - j
         bp = cfg.bypass_of_layer(enc_i)
         mix_out = dp["mix_w"].shape[2]
         nAB = (mix_out - bp) // 2
-        inv_c = np.argsort(_interleave_perm([bp, nAB, nAB], n))
-        inv_r = np.argsort(_interleave_perm([bp, nAB], n))
-        dp["mix_w"] = dp["mix_w"][:, :, inv_c]
-        dp["mix_b"] = dp["mix_b"][inv_c]
-        dp["convt_w"] = dp["convt_w"][:, inv_r, :]
+        perm_c = _interleave_perm([bp, nAB, nAB], n)
+        perm_r = _interleave_perm([bp, nAB], n)
+        if inverse:
+            perm_c, perm_r = np.argsort(perm_c), np.argsort(perm_r)
+        dp["mix_w"] = dp["mix_w"][:, :, perm_c]
+        dp["mix_b"] = dp["mix_b"][perm_c]
+        dp["convt_w"] = dp["convt_w"][:, perm_r, :]
     return out
+
+
+def tp_unprepare(params_tp: Params, cfg: CleanUMambaConfig, n: int) -> Params:
+    """Inverse of :func:`tp_prepare`'s column/row block-interleaving: turn a
+    (gathered) TP parameter pytree back into the canonical layout — e.g. to
+    bank a checkpoint after tensor-parallel training."""
+    return tp_permute_like(params_tp, cfg, n, inverse=True)
+
+
+def tp_opt_state_like(opt_state, params_template: Params,
+                      cfg: CleanUMambaConfig, n: int,
+                      inverse: bool = False):
+    """Permute (or un-permute) every params-structured subtree of an optax
+    state (adam mu/nu) with :func:`tp_permute_like`, so TP training
+    checkpoints bank canonical-layout moments and resume re-permutes them.
+    Scalars (step counts) pass through unchanged."""
+    pdef = jax.tree_util.tree_structure(params_template)
+
+    def is_param_like(x):
+        try:
+            return jax.tree_util.tree_structure(x) == pdef
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda x: tp_permute_like(x, cfg, n, inverse) if is_param_like(x) else x,
+        opt_state, is_leaf=is_param_like,
+    )
 
 
 # --------------------------------------------------------------------------

@@ -182,3 +182,95 @@ def test_tp_train_step_matches_single_device(data_axis):
     assert worst < 2e-3, worst
     assert abs(float(aux["loss"]) - float(ref_aux["loss"])) < 1e-4
     assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4
+
+
+def test_tp_opt_state_roundtrip():
+    """Adam moments permute to TP layout and back exactly (the checkpoint
+    bank/resume path of cli/train.py --model-parallel)."""
+    from cleanumamba_tpu.config import OptimizationConfig
+    from cleanumamba_tpu.parallel.tensor import tp_opt_state_like
+    from cleanumamba_tpu.train.trainer import make_optimizer
+
+    cfg = CleanUMambaConfig(**TINY)
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    # non-trivial moments: random values in the params structure
+    keys = iter(jax.random.split(jax.random.PRNGKey(6), 10_000))
+    rand = jax.tree_util.tree_map(
+        lambda x: jax.random.normal(next(keys), np.shape(x)), params)
+    opt = make_optimizer(OptimizationConfig(n_iters=10))
+    state = opt.init(params)
+    # graft the random leaves into every params-structured subtree
+    pdef = jax.tree_util.tree_structure(params)
+    is_pl = lambda x: jax.tree_util.tree_structure(x) == pdef  # noqa: E731
+    state = jax.tree_util.tree_map(
+        lambda x: rand if is_pl(x) else x, state,
+        is_leaf=lambda x: is_pl(x) if not isinstance(x, jnp.ndarray) else False)
+    fwd = tp_opt_state_like(state, params, cfg, 4)
+    back = tp_opt_state_like(fwd, params, cfg, 4, inverse=True)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # and the permutation is not the identity on the interleaved leaves
+    flat_f = jax.tree_util.tree_leaves(fwd)
+    flat_s = jax.tree_util.tree_leaves(state)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(flat_f, flat_s))
+
+
+def test_tp_cli_train_bank_resume(tmp_path):
+    """cli/train.py --model-parallel end-to-end on the 8-device CPU mesh
+    (TP=2 x DP=4): trains, banks a CANONICAL-layout checkpoint that the
+    single-device forward can consume, and resumes from it."""
+    import json as _json
+    import os
+
+    from cleanumamba_tpu.cli.train import main
+    from cleanumamba_tpu.train.checkpoint import load_checkpoint
+
+    exp = {
+        "network": "CleanUMamba",
+        "exp_path": "tp_cli",
+        "network_config": {
+            "channels_H": 8, "max_H": 16, "encoder_n_layers": 4,
+            "tsfm_n_layers": 2, "tsfm_n_head": 2,
+            "tsfm_d_model": 16, "tsfm_d_inner": 32,
+        },
+    }
+    train = {
+        "train_config": {
+            "log": {"directory": str(tmp_path / "exp"), "ckpt_iter": "max",
+                    "iters_per_ckpt": 4, "iters_per_valid": 100000},
+            "optimization": {
+                "n_iters": 100, "batch_size_total": 4,
+                "batch_size_per_gpu": 1, "autocast": False,
+                "learning_rate": 1e-3, "clip_grad_norm_max": 10,
+            },
+            "loss_config": {"stft_config": {
+                "fft_sizes": [64], "hop_sizes": [16], "win_lengths": [32]}},
+        },
+        "trainset_config": {"crop_length_sec": 0.1, "sample_rate": 16000},
+    }
+    cpath = str(tmp_path / "config.json")
+    epath = str(tmp_path / "exp.json")
+    with open(cpath, "w") as f:
+        _json.dump(train, f)
+    with open(epath, "w") as f:
+        _json.dump(exp, f)
+
+    main(["-c", cpath, "-e", epath, "--synthetic", "--max-iters", "6",
+          "--model-parallel", "2", "--log-every", "2"])
+    ckpt_dir = os.path.join(str(tmp_path / "exp"), "tp_cli", "checkpoint")
+    ck = load_checkpoint(os.path.join(ckpt_dir, "5.pkl"))
+    cfg = ck["config"]
+    # canonical layout: the single-device forward consumes it directly
+    y = forward(jax.tree_util.tree_map(jnp.asarray, ck["params"]),
+                jnp.zeros((1, 801), jnp.float32) + 0.1, cfg, scan_impl="xla")
+    assert np.isfinite(np.asarray(y)).all()
+    assert ck["opt_state"] is not None
+    # resume continues from iter 6 and banks the final checkpoint
+    main(["-c", cpath, "-e", epath, "--synthetic", "--max-iters", "8",
+          "--model-parallel", "2", "--log-every", "2"])
+    ck2 = load_checkpoint(os.path.join(ckpt_dir, "7.pkl"))
+    for a, b in zip(jax.tree_util.tree_leaves(ck2["params"]),
+                    jax.tree_util.tree_leaves(ck["params"])):
+        assert np.shape(a) == np.shape(b)

@@ -20,7 +20,11 @@ from cleanumamba_tpu.data import (
 from cleanumamba_tpu.eval.validate import validate
 from cleanumamba_tpu.models.cleanumamba import count_params
 from cleanumamba_tpu.train.checkpoint import save_checkpoint
-from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
+from cleanumamba_tpu.train.trainer import (
+    make_device_data_steps,
+    make_optimizer,
+    make_train_step,
+)
 from cleanumamba_tpu.utils import MetricsLogger
 
 
@@ -37,7 +41,15 @@ def main(argv=None):
     ap.add_argument("--crop-sec", type=float, default=10.0)
     ap.add_argument("--out", default="./exp/finetune/checkpoint")
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--device-data", type=int, default=0, metavar="K",
+                    help="fuse K train steps into one on-device dispatch with "
+                         "device-synthesized batches (train.trainer."
+                         "make_device_data_steps); implies --synthetic")
     args = ap.parse_args(argv)
+    if args.device_data:
+        args.synthetic = True
+        if args.log_every % args.device_data:
+            ap.error("--log-every must be a multiple of --device-data")
 
     cfg, params, meta = load_any_checkpoint(args.ckpt)
     print(f"finetuning {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
@@ -46,8 +58,15 @@ def main(argv=None):
     opt_cfg = OptimizationConfig(n_iters=args.iters, learning_rate=args.lr)
     optimizer = make_optimizer(opt_cfg)
     opt_state = optimizer.init(params)
-    step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=opt_cfg.bf16),
-                   donate_argnums=(0, 1))
+    raw_step = make_train_step(cfg, loss_cfg, optimizer, bf16=opt_cfg.bf16)
+    if args.device_data:
+        L0 = int(args.crop_sec * 16000)
+        stepper = make_device_data_steps(raw_step, args.batch_size, L0,
+                                         args.device_data)
+        step = None
+    else:
+        stepper = None
+        step = jax.jit(raw_step, donate_argnums=(0, 1))
 
     if args.synthetic or not args.data_root:
         ds = SyntheticDenoiseDataset(crop_length_sec=args.crop_sec)
@@ -65,19 +84,30 @@ def main(argv=None):
                                  config={"ckpt": args.ckpt, "lr": args.lr})
     L = int(args.crop_sec * 16000)
     t0 = time.time()
-    for n_iter in range(args.iters):
-        clean, noisy = next(loader)
-        batch = (jnp.asarray(clean[None]), jnp.asarray(noisy[None]))
-        params, opt_state, aux = step(params, opt_state, batch)
-        if n_iter % args.log_every == 0:
+    key = jax.random.PRNGKey(4321)
+    stride = args.device_data or 1
+    crossed = lambda it, every: (it // every) > ((it - stride) // every)  # noqa: E731
+    n_iter = 0
+    while n_iter < args.iters:
+        if stepper is not None:
+            key, sub = jax.random.split(key)
+            params, opt_state, aux = stepper(params, opt_state, sub)
+            n_iter += stride - 1  # land on the last fused iter
+        else:
+            clean, noisy = next(loader)
+            batch = (jnp.asarray(clean[None]), jnp.asarray(noisy[None]))
+            params, opt_state, aux = step(params, opt_state, batch)
+        if crossed(n_iter, args.log_every) or n_iter == stride - 1:
             print(f"iter {n_iter}: loss={float(aux['loss']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,
                      kind="train")
-        if n_iter % 1000 == 0 and n_iter > 0:
+        if crossed(n_iter, 1000) and n_iter >= 1000:
             metrics = validate(params, cfg, val_ds, max_items=4, pad_to=L)
-            print("valid " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
+            print("valid " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()),
+                  flush=True)
             sink.log(metrics, step=n_iter, kind="valid")
+        n_iter += 1
     save_checkpoint(args.out, args.iters - 1, params, opt_state, cfg,
                     run_id=sink.run_id, training_time_seconds=time.time() - t0)
     sink.close()

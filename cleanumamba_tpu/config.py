@@ -138,6 +138,10 @@ class CleanUMambaConfig:
             bottleneck = "mamba2"
         if network == "CleanUNet":
             bottleneck = "mha"
+            # CleanUNet's transformer LayerNorms are built with eps=1e-6
+            # (jadore attention-is-all-you-need-pytorch convention), unlike
+            # the mamba-ssm default 1e-5.
+            cfg.setdefault("norm_epsilon", 1e-6)
         elif network != "CleanUMamba":
             raise ValueError(f"unknown network {network!r}")
         # Keys that only select CUDA/Triton fast paths or are unused.

@@ -178,7 +178,7 @@ def export_reference_state_dict(params, cfg: CleanUMambaConfig):
             sd[f"{p}.pos_ffn.w_2.weight"] = t(layer["ffn_w2"]).T.contiguous()
             sd[f"{p}.pos_ffn.w_2.bias"] = t(layer["ffn_b2"])
             _export_norm(sd, f"{p}.pos_ffn.layer_norm", layer["ffn_norm"], t)
-        _export_norm(sd, "tsfm_encoder.layer_norm", bott["final_norm"], t)
+        _export_norm(sd, "tsfm_encoder.layer_norm", bott["enc_norm"], t)
         return sd
     for l, layer in enumerate(bott["layers"]):
         p = f"tsfm_Mamba_layers.{l}"
@@ -282,7 +282,9 @@ def _convert_bottleneck(sd, cfg: CleanUMambaConfig):
                 }
             )
             l += 1
-        return {"layers": layers, "final_norm": _norm(sd, "tsfm_encoder.layer_norm")}
+        # tsfm_encoder.layer_norm is the encoder INPUT norm in CleanUNet
+        # (applied before the layer stack) — see bottleneck_mha docstring.
+        return {"layers": layers, "enc_norm": _norm(sd, "tsfm_encoder.layer_norm")}
 
     layers = []
     l = 0

@@ -4,14 +4,25 @@ The reference ships this as a separate network name "CleanUNet" (see
 configs/exp/models/DNS-CleanUMamba-FullMiniMambaMHA.json and the
 ``Experiment_CleanU_MHA.pkl`` checkpoint, whose parameter names —
 ``tsfm_encoder.layer_stack.{l}.slf_attn.{w_qs,w_ks,w_vs,fc,layer_norm}`` and
-``pos_ffn.{w_1,w_2,layer_norm}`` plus a final ``tsfm_encoder.layer_norm`` —
+``pos_ffn.{w_1,w_2,layer_norm}`` plus ``tsfm_encoder.layer_norm`` —
 identify the NVIDIA-CleanUNet post-norm transformer encoder with a causal
 (subsequent) mask and no positional encoding).
 
-Post-norm block:
+In the public CleanUNet/attention-is-all-you-need-pytorch encoder the
+module-level ``tsfm_encoder.layer_norm`` is applied to the INPUT of the
+layer stack (``enc_output = self.layer_norm(enc_output)`` precedes the
+``layer_stack`` loop), NOT as a final norm; we store it as ``enc_norm``.
+Empirical corroboration on the released ``Experiment_CleanU_MHA.pkl``:
+with input-norm placement the converted model's synthetic-bank PESQ-WB
+lands at 3.28, inside the Mamba (3.13) / S4 (3.16) cluster as published
+(README.md:30-33 has all four within 0.1 MOS); with final-norm placement
+it is an impossible outlier at 3.70 (+0.57 over Mamba vs the published
+-0.05).  All layer norms use the jadore/CleanUNet eps=1e-6 (set by
+config.from_reference_json for the CleanUNet network name).
+
+Per layer (post-norm):
     a   = softmax(QK^T/sqrt(d_k) + causal_mask) V  -> fc -> +residual -> LN
     ffn = W2 relu(W1 a) -> +residual -> LN
-final encoder LayerNorm at the end.
 """
 
 from __future__ import annotations
@@ -51,7 +62,7 @@ def init(key, cfg, dtype=jnp.float32):
         )
     return {
         "layers": layers,
-        "final_norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+        "enc_norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
     }
 
 
@@ -73,6 +84,7 @@ def _causal_attention(q, k, v, n_head: int):
 def forward(params, x, cfg):
     """x: (B, T, d_model) -> (B, T, d_model)."""
     eps = cfg.norm_epsilon
+    x = layer_norm(x, params["enc_norm"]["scale"], params["enc_norm"]["bias"], eps)
     for p in params["layers"]:
         residual = x
         q = x @ p["w_qs"].astype(x.dtype)
@@ -85,7 +97,7 @@ def forward(params, x, cfg):
         f = jax.nn.relu(x @ p["ffn_w1"].astype(x.dtype) + p["ffn_b1"].astype(x.dtype))
         f = f @ p["ffn_w2"].astype(x.dtype) + p["ffn_b2"].astype(x.dtype)
         x = layer_norm(f + residual, p["ffn_norm"]["scale"], p["ffn_norm"]["bias"], eps)
-    return layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], eps)
+    return x
 
 
 def init_cache(params, cfg, batch_size: int, max_len: int, dtype=jnp.float32):
@@ -112,6 +124,8 @@ def step(params, cfg, cache, x):
     pos = cache["pos"]
     slot = jnp.mod(pos, max_len)
     new_k, new_v = cache["k"], cache["v"]
+    # encoder input norm (per-position, so streaming ≡ offline exactly)
+    x = layer_norm(x, params["enc_norm"]["scale"], params["enc_norm"]["bias"], eps)
     for li, p in enumerate(params["layers"]):
         residual = x
         q = x @ p["w_qs"].astype(x.dtype)
@@ -143,5 +157,4 @@ def step(params, cfg, cache, x):
         f = jax.nn.relu(x @ p["ffn_w1"].astype(x.dtype) + p["ffn_b1"].astype(x.dtype))
         f = f @ p["ffn_w2"].astype(x.dtype) + p["ffn_b2"].astype(x.dtype)
         x = layer_norm(f + residual, p["ffn_norm"]["scale"], p["ffn_norm"]["bias"], eps)
-    x = layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], eps)
     return {"k": new_k, "v": new_v, "pos": pos + 1}, x

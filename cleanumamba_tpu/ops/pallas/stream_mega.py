@@ -236,8 +236,8 @@ def pack_mega(params, cfg, compute_dtype=jnp.bfloat16):
                 addF(f"m{li}fns", p["ffn_norm"]["scale"])
                 addF(f"m{li}fnb", p["ffn_norm"]["bias"])
                 bott_meta.append(dict(d=d))
-            addF("nfs", params["bottleneck"]["final_norm"]["scale"])
-            addF("nfb", params["bottleneck"]["final_norm"]["bias"])
+            addF("nfs", params["bottleneck"]["enc_norm"]["scale"])
+            addF("nfb", params["bottleneck"]["enc_norm"]["bias"])
         for li, lp in enumerate(params["bottleneck"]["layers"]
                                 if cfg.bottleneck not in ("lstm", "mha")
                                 else []):
@@ -559,7 +559,10 @@ def _mega_kernel(*refs, meta, batch):
             valid = iota <= jnp.minimum(pos, max_len - 1)
             inv_sqrt_dk = 1.0 / float(
                 np.sqrt(meta["d_model"] // meta["n_head"]))
-            xh = t.astype(cdt)                          # (1, d)
+            # encoder INPUT norm (CleanUNet applies tsfm_encoder.layer_norm
+            # before the layer stack — bottleneck_mha docstring)
+            xh = _norm(t.astype(jnp.float32), f("nfs"), f("nfb"),
+                       False, eps).astype(cdt)          # (1, d)
             for li in range(n_bott):
                 resid = xh.astype(jnp.float32)
                 qr = dot(xh, w(f"m{li}wq"))             # (1, d) fp32
@@ -585,9 +588,7 @@ def _mega_kernel(*refs, meta, batch):
                 ff = dot(ff, w(f"m{li}f2")) + f(f"m{li}f2b")
                 xh = _norm(ff + resid, f(f"m{li}fns"), f(f"m{li}fnb"),
                            False, eps).astype(cdt)
-            tok = _norm(xh.astype(jnp.float32), f("nfs"), f("nfb"),
-                        False, eps).astype(cdt)
-            xd = (dot(tok, w("c2w")) + f("c2b")).astype(cdt)
+            xd = (dot(xh, w("c2w")) + f("c2b")).astype(cdt)
             if b == 0:
                 ssm_out_refs[n_bott][:, :] = pos + 1
         else:

@@ -196,7 +196,9 @@ def test_mha_ring_cache_beyond_window():
     n_head = cfg.tsfm_n_head
     hist = [[] for _ in params["layers"]]
     for t in range(T):
-        x = xs[t]
+        # encoder input norm precedes the layer stack (CleanUNet placement)
+        x = layer_norm(xs[t], params["enc_norm"]["scale"],
+                       params["enc_norm"]["bias"], eps)
         for li, p in enumerate(params["layers"]):
             hist[li].append(x)
             window = jnp.stack(hist[li][-W:], axis=1)  # (B, <=W, d)
@@ -220,8 +222,6 @@ def test_mha_ring_cache_beyond_window():
             f = f @ p["ffn_w2"] + p["ffn_b2"]
             x = layer_norm(f + residual, p["ffn_norm"]["scale"],
                            p["ffn_norm"]["bias"], eps)
-        x = layer_norm(x, params["final_norm"]["scale"],
-                       params["final_norm"]["bias"], eps)
         np.testing.assert_allclose(
             stream_out[t], np.asarray(x), atol=2e-5, rtol=2e-4,
             err_msg=f"step {t}")

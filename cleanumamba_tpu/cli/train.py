@@ -74,15 +74,13 @@ def main(argv=None):
     opt = tc.optimization
     n_devices = len(jax.devices())
     tp = args.model_parallel
+    if tp < 1:
+        ap.error(f"--model-parallel must be >= 1, got {tp}")
     if n_devices % tp:
         ap.error(f"--model-parallel {tp} does not divide {n_devices} devices")
     dp_devices = n_devices // tp
     per_step_batch = opt.batch_size_per_device * dp_devices
     accum = max(1, opt.batch_size_total // per_step_batch)
-    if tp > 1 and accum > 1:
-        print(f"NOTE: TP step has no in-jit accumulation; accum {accum} -> 1 "
-              f"(effective batch {per_step_batch})")
-        accum = 1
 
     print(f"model: {network} ({cfg.bottleneck}) | devices: {n_devices} | "
           f"batch/step: {per_step_batch} x accum {accum}")
@@ -139,14 +137,18 @@ def main(argv=None):
             mesh = Mesh(np.array(jax.devices()), ("model",))
             data_axis = None
         make = make_tp_train_step(cfg, tc.loss, opt, mesh,
-                                  data_axis=data_axis, bf16=opt.bf16)
+                                  data_axis=data_axis, bf16=opt.bf16,
+                                  remat=opt.remat)
+        canonical_params = params
         params_tp, fresh_opt, step_fn = make(params)
         # carry (possibly resumed) canonical moments into the TP layout; a
         # fresh opt_state permutes to itself (zeros + count), so this is
-        # unconditional
+        # unconditional.  Template = CANONICAL params: the state's mu/nu
+        # subtrees are canonical-structured here (mamba2's TP layout changes
+        # the tree structure, not just leaf order).
         opt_state = jax.tree_util.tree_map(
             lambda ref, v: jnp.asarray(v), fresh_opt,
-            tp_opt_state_like(opt_state, params_tp, cfg, tp))
+            tp_opt_state_like(opt_state, canonical_params, cfg, tp))
         params = params_tp
         bank_params = lambda p: tp_unprepare(jax.device_get(p), cfg, tp)  # noqa: E731
         bank_opt = lambda s: tp_opt_state_like(  # noqa: E731
@@ -216,12 +218,10 @@ def main(argv=None):
             else:
                 stride = 1
                 clean, noisy = next(loader)
-                if tp_mode:  # TP step takes (B, L), no accum leading axis
-                    clean = jnp.asarray(clean.reshape(per_step_batch, L))
-                    noisy = jnp.asarray(noisy.reshape(per_step_batch, L))
-                else:
-                    clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
-                    noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
+                # both the DP and TP steps scan a leading accum axis
+                # (reference batch_size_total semantics, train.py:232-299)
+                clean = jnp.asarray(clean.reshape(accum, per_step_batch, L))
+                noisy = jnp.asarray(noisy.reshape(accum, per_step_batch, L))
                 params, opt_state, aux = step_fn(params, opt_state, (clean, noisy))
 
             if crossed(args.log_every) or n_iter == start_iter:

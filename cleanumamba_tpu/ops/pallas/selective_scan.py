@@ -444,28 +444,33 @@ def pallas_selective_scan_bwd(u, dt, A, B, C, D, h_starts, gy, gh_last,
 _VJP_CHUNK = 32
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def selective_scan_auto(u, dt, A, B, C, D, h0, chunk=_VJP_CHUNK,
+                        interpret=False):
     """Differentiable wrapper: Pallas forward AND backward on TPU.  The
     backward runs the adjoint recurrence as a second Pallas kernel seeded by
     the forward's saved chunk-boundary states (no forward re-run, no AD
-    through the associative scan)."""
-    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0, chunk=chunk)
+    through the associative scan).  ``interpret=True`` runs both kernels in
+    Pallas interpret mode (CPU coverage of the TPU code path)."""
+    y, h_last = pallas_selective_scan(u, dt, A, B, C, D, h0, chunk=chunk,
+                                      interpret=interpret)
     return y, h_last
 
 
-def _fwd(u, dt, A, B, C, D, h0, chunk):
+def _fwd(u, dt, A, B, C, D, h0, chunk, interpret):
     y, h_last, h_starts = pallas_selective_scan(
-        u, dt, A, B, C, D, h0, chunk=chunk, return_boundaries=True
+        u, dt, A, B, C, D, h0, chunk=chunk, return_boundaries=True,
+        interpret=interpret,
     )
     return (y, h_last), (u, dt, A, B, C, D, h0, h_starts)
 
 
-def _bwd(chunk, res, cts):
+def _bwd(chunk, interpret, res, cts):
     u, dt, A, B, C, D, h0, h_starts = res
     gy, gh_last = cts
     gu, gdt, gA, gB, gC, gD, gh0 = pallas_selective_scan_bwd(
-        u, dt, A, B, C, D, h_starts, gy, gh_last, chunk=chunk
+        u, dt, A, B, C, D, h_starts, gy, gh_last, chunk=chunk,
+        interpret=interpret,
     )
     return (
         gu.astype(u.dtype), gdt.astype(dt.dtype), gA.astype(A.dtype),

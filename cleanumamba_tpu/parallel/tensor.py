@@ -95,6 +95,104 @@ def _check_div(name: str, value: int, n: int):
         )
 
 
+def _mixer2_geometry(mx):
+    """(d_inner, d_state, n_heads) of a mamba2 mixer param dict (shapes
+    mirror models/bottleneck_mamba2.mixer_geometry)."""
+    n_heads = mx["A_log"].shape[0]
+    d_inner = mx["out_proj"].shape[0]
+    d_state = (mx["conv_w"].shape[1] - d_inner) // 2
+    return d_inner, d_state, n_heads
+
+
+def _mixer2_zxdt_idx(d_inner: int, d_state: int, n_heads: int,
+                     n: int) -> np.ndarray:
+    """Column gather so contiguous block k of the permuted axis is
+    ``[z_k | x_k | dt_k]`` — the shardable columns of the canonical mamba2
+    ``in_proj`` layout [z | x | B | C | dt] (B/C are head-shared and split
+    into a separate replicated leaf)."""
+    m, nhl = d_inner // n, n_heads // n
+    dt0 = 2 * d_inner + 2 * d_state
+    idx = []
+    for k in range(n):
+        idx.extend(range(k * m, (k + 1) * m))                       # z_k
+        idx.extend(range(d_inner + k * m, d_inner + (k + 1) * m))   # x_k
+        idx.extend(range(dt0 + k * nhl, dt0 + (k + 1) * nhl))       # dt_k
+    return np.asarray(idx, np.int64)
+
+
+def _tp_prepare_mixer2(mx, l: int, n: int, axis: str):
+    """Megatron-style sharding of the mamba2 (SSD) mixer.
+
+    The per-head scalar decay shards exactly like d_inner: heads (and with
+    them dt_bias/A_log/D, the x columns, the scan state, and norm_w) split
+    over the model axis.  B/C are shared across ALL heads (ngroups=1 in the
+    reference config), so their in_proj columns and conv channels move to
+    separate REPLICATED leaves — each device computes the identical B/C
+    projection locally (redundant (B, T, 2*d_state) work, far cheaper than
+    a collective) and the replicated-leaf gradient psum in
+    make_tp_train_step keeps their copies in sync.  Collectives per block:
+    one scalar-field psum for the gated RMSNorm statistics + one activation
+    psum for the row-parallel out_proj.
+    """
+    d_inner, d_state, n_heads = _mixer2_geometry(mx)
+    _check_div(f"bottleneck[{l}].n_heads", n_heads, n)
+    _check_div(f"bottleneck[{l}].d_inner", d_inner, n)
+    rep = P()
+    mx_p = {
+        "in_proj_zxdt": mx["in_proj"][:, _mixer2_zxdt_idx(
+            d_inner, d_state, n_heads, n)],
+        "in_proj_bc": mx["in_proj"][:, 2 * d_inner: 2 * d_inner + 2 * d_state],
+        "conv_w_x": mx["conv_w"][:, :d_inner],
+        "conv_b_x": mx["conv_b"][:d_inner],
+        "conv_w_bc": mx["conv_w"][:, d_inner:],
+        "conv_b_bc": mx["conv_b"][d_inner:],
+        "dt_bias": mx["dt_bias"],
+        "A_log": mx["A_log"],
+        "D": mx["D"],
+        "norm_w": mx["norm_w"],
+        "out_proj": mx["out_proj"],
+    }
+    mx_s = {
+        "in_proj_zxdt": P(None, axis),
+        "in_proj_bc": rep,
+        "conv_w_x": P(None, axis),
+        "conv_b_x": P(axis),
+        "conv_w_bc": rep,
+        "conv_b_bc": rep,
+        "dt_bias": P(axis),
+        "A_log": P(axis),
+        "D": P(axis),
+        "norm_w": P(axis),
+        "out_proj": P(axis, None),
+    }
+    return mx_p, mx_s
+
+
+def _tp_unsplit_mixer2(mx_tp, n: int):
+    """Inverse of :func:`_tp_prepare_mixer2`: reassemble the canonical
+    mamba2 mixer leaves from the TP split/permuted layout."""
+    d_inner = mx_tp["out_proj"].shape[0]
+    n_heads = mx_tp["A_log"].shape[0]
+    d_state = mx_tp["in_proj_bc"].shape[1] // 2
+    idx = _mixer2_zxdt_idx(d_inner, d_state, n_heads, n)
+    zxdt = mx_tp["in_proj_zxdt"]
+    in_proj = jnp.zeros(
+        (zxdt.shape[0], 2 * d_inner + 2 * d_state + n_heads), zxdt.dtype)
+    in_proj = in_proj.at[:, idx].set(zxdt)
+    in_proj = in_proj.at[:, 2 * d_inner: 2 * d_inner + 2 * d_state].set(
+        mx_tp["in_proj_bc"])
+    return {
+        "in_proj": in_proj,
+        "conv_w": jnp.concatenate([mx_tp["conv_w_x"], mx_tp["conv_w_bc"]], 1),
+        "conv_b": jnp.concatenate([mx_tp["conv_b_x"], mx_tp["conv_b_bc"]]),
+        "dt_bias": mx_tp["dt_bias"],
+        "A_log": mx_tp["A_log"],
+        "D": mx_tp["D"],
+        "norm_w": mx_tp["norm_w"],
+        "out_proj": mx_tp["out_proj"],
+    }
+
+
 def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
                axis: str = "model") -> Tuple[Params, Any]:
     """Return ``(params_tp, specs)``: the parameter pytree with GLU/x|z
@@ -103,10 +201,10 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
 
     Pure host-side reindexing — cheap, done once per (params, n).
     """
-    if cfg.bottleneck != "mamba":
+    if cfg.bottleneck not in ("mamba", "mamba2"):
         raise NotImplementedError(
-            f"tensor parallelism implemented for the mamba bottleneck "
-            f"(flagship family); got {cfg.bottleneck!r}"
+            f"tensor parallelism implemented for the mamba/mamba2 "
+            f"bottlenecks (flagship families); got {cfg.bottleneck!r}"
         )
     rep = P()
     out_p: Params = {}
@@ -144,6 +242,14 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
     layers_p, layers_s = [], []
     for l, lp in enumerate(params["bottleneck"]["layers"]):
         mx = lp["mixer"]
+        if "dt_bias" in mx:  # mamba2 (SSD): per-head scalar decay
+            mx_p, mx_s = _tp_prepare_mixer2(mx, l, n, axis)
+            layers_p.append({"norm": dict(lp["norm"]), "mixer": mx_p})
+            layers_s.append({
+                "norm": jax.tree_util.tree_map(lambda _: rep, lp["norm"]),
+                "mixer": mx_s,
+            })
+            continue
         d_inner = mx["dt_proj_w"].shape[1]
         _check_div(f"bottleneck[{l}].d_inner", d_inner, n)
         perm_xz = _interleave_perm([d_inner, d_inner], n)
@@ -211,6 +317,10 @@ def tp_permute_like(tree: Params, cfg: CleanUMambaConfig, n: int,
     out = jax.tree_util.tree_map(lambda x: x, tree)  # shallow copy
     for l, lp in enumerate(out["bottleneck"]["layers"]):
         mx = lp["mixer"]
+        if "dt_bias" in mx:  # mamba2: split <-> canonical restructuring
+            lp["mixer"] = (_tp_unsplit_mixer2(mx, n) if inverse
+                           else _tp_prepare_mixer2(mx, l, n, "model")[0])
+            continue
         d_inner = mx["dt_proj_w"].shape[1]
         perm = _interleave_perm([d_inner, d_inner], n)
         if inverse:
@@ -245,7 +355,13 @@ def tp_opt_state_like(opt_state, params_template: Params,
     """Permute (or un-permute) every params-structured subtree of an optax
     state (adam mu/nu) with :func:`tp_permute_like`, so TP training
     checkpoints bank canonical-layout moments and resume re-permutes them.
-    Scalars (step counts) pass through unchanged."""
+    Scalars (step counts) pass through unchanged.
+
+    ``params_template`` must match the structure of the state's mu/nu
+    subtrees as they are NOW: canonical params for the forward direction,
+    TP-layout params for ``inverse=True``.  (For mamba the two structures
+    coincide — the TP layout is a pure permutation — but mamba2's TP layout
+    splits mixer leaves into different keys.)"""
     pdef = jax.tree_util.tree_structure(params_template)
 
     def is_param_like(x):
@@ -300,9 +416,10 @@ def _tp_mixer_forward(p, x, axis, chunk, scan_impl):
     C = dbc[..., dt_rank + d_state:]
     A = -jnp.exp(p["A_log"].astype(jnp.float32))
     h0 = jnp.zeros((xs.shape[0], m, d_state), jnp.float32)
-    if scan_impl == "pallas":
+    if scan_impl in ("pallas", "pallas_interpret"):
         from cleanumamba_tpu.ops.pallas.selective_scan import selective_scan_auto
-        y, _ = selective_scan_auto(xs, dt, A, B, C, p["D"], h0, chunk)
+        y, _ = selective_scan_auto(xs, dt, A, B, C, p["D"], h0, chunk,
+                                   scan_impl == "pallas_interpret")
     else:
         from cleanumamba_tpu.ops.scan import selective_scan_grad
         y, _ = selective_scan_grad(xs, dt, A, B, C, p["D"], h0, chunk)
@@ -310,7 +427,45 @@ def _tp_mixer_forward(p, x, axis, chunk, scan_impl):
     return lax.psum(y @ p["out_proj"].astype(y.dtype), axis)  # row-parallel
 
 
-def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl):
+def _tp_mixer2_forward(p, x, axis, n, chunk):
+    """Local-shard mamba2 (SSD) mixer (mirrors bottleneck_mamba2.
+    mixer_forward).  Local width m = d_inner/n, local heads = n_heads/n;
+    B/C are computed redundantly from the replicated leaves.  Two
+    collectives: a scalar-field psum for the gated-RMSNorm mean-square
+    (norm statistics span the FULL d_inner) and the row-parallel out_proj
+    psum."""
+    from cleanumamba_tpu.ops.scan import ssd_scan_grad
+
+    m = p["out_proj"].shape[0]
+    nhl = p["A_log"].shape[0]
+    headdim = m // nhl
+    ds = p["in_proj_bc"].shape[1] // 2
+    zxdt = x @ p["in_proj_zxdt"].astype(x.dtype)
+    z, xs, dt_h = zxdt[..., :m], zxdt[..., m: 2 * m], zxdt[..., 2 * m:]
+    xs = jax.nn.silu(causal_depthwise_conv(xs, p["conv_w_x"], p["conv_b_x"]))
+    bc = x @ p["in_proj_bc"].astype(x.dtype)
+    bc = jax.nn.silu(causal_depthwise_conv(bc, p["conv_w_bc"], p["conv_b_bc"]))
+    B, C = bc[..., :ds], bc[..., ds:]
+    dt_h = jax.nn.softplus(dt_h.astype(jnp.float32)
+                           + p["dt_bias"].astype(jnp.float32))
+    A_head = -jnp.exp(p["A_log"].astype(jnp.float32))
+    Bsz, T, _ = xs.shape
+    xh = xs.reshape(Bsz, T, nhl, headdim)
+    y, _ = ssd_scan_grad(xh, dt_h, A_head, B, C, p["D"], None,
+                         min(chunk * 2, 64))
+    y = y.reshape(Bsz, T, m)
+    # gated RMSNorm over the FULL d_inner (ops.norms.gated_rms_norm with the
+    # sum-of-squares all-reduced over the model axis)
+    yf = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
+    ss = jnp.sum(jnp.square(yf), axis=-1, keepdims=True)
+    ms = lax.psum(ss, axis) / (m * n)
+    yn = yf * jnp.reciprocal(jnp.sqrt(ms + 1e-5)) \
+        * p["norm_w"].astype(jnp.float32)
+    y = yn.astype(x.dtype)
+    return lax.psum(y @ p["out_proj"].astype(y.dtype), axis)
+
+
+def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl, n=1):
     hidden = x
     residual = None
     for lp in params["layers"]:
@@ -324,7 +479,11 @@ def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl):
             hidden = layer_norm(residual, lp["norm"]["scale"],
                                 lp["norm"]["bias"], cfg.norm_epsilon)
         hidden = hidden.astype(x.dtype)
-        hidden = _tp_mixer_forward(lp["mixer"], hidden, axis, chunk, scan_impl)
+        if "dt_bias" in lp["mixer"]:
+            hidden = _tp_mixer2_forward(lp["mixer"], hidden, axis, n, chunk)
+        else:
+            hidden = _tp_mixer_forward(lp["mixer"], hidden, axis, chunk,
+                                       scan_impl)
     residual = hidden.astype(jnp.float32) + residual
     nf = params["norm_f"]
     if cfg.rms_norm:
@@ -360,7 +519,8 @@ def _tp_forward_local(params, noisy, cfg, axis, n, chunk, scan_impl):
 
     x = x @ params["tsfm_conv1"]["w"][0].astype(x.dtype) \
         + params["tsfm_conv1"]["b"].astype(x.dtype)
-    x = _tp_bottleneck(params["bottleneck"], x, cfg, axis, chunk, scan_impl)
+    x = _tp_bottleneck(params["bottleneck"], x, cfg, axis, chunk, scan_impl,
+                       n=n)
     x = x @ params["tsfm_conv2"]["w"][0].astype(x.dtype) \
         + params["tsfm_conv2"]["b"].astype(x.dtype)
 
@@ -432,7 +592,7 @@ def _opt_specs_like(opt_state, params_tp, specs):
 def make_tp_train_step(cfg: CleanUMambaConfig, loss_cfg, opt_cfg, mesh: Mesh,
                        axis: str = "model", data_axis: str | None = None,
                        bf16: bool = True, chunk: int = 32,
-                       scan_impl: str = "xla"):
+                       scan_impl: str = "xla", remat: bool = False):
     """Tensor-parallel (optionally x data-parallel) train step.
 
     Returns ``(prepare, step)``:
@@ -442,8 +602,12 @@ def make_tp_train_step(cfg: CleanUMambaConfig, loss_cfg, opt_cfg, mesh: Mesh,
       on them (adam moments shard with their parameters, so optimizer memory
       is also ~1/n per device).
     - ``step(params_tp, opt_state, (clean, noisy)) -> (params_tp, opt_state,
-      aux)`` — jitted shard_map step.  ``clean/noisy``: (B, L), batch
-      sharded over ``data_axis`` when given.
+      aux)`` — jitted shard_map step.  ``clean/noisy``: (accum, B, L); the
+      leading axis is scanned for gradient accumulation exactly like
+      make_train_step (reference batch_size_total semantics,
+      train.py:232-299), the batch axis sharded over ``data_axis`` when
+      given.  ``remat=True`` wraps the local forward in ``jax.checkpoint``
+      (TP targets the large geometries where activations do not fit).
 
     Gradient correctness under TP (tested against the single-device step,
     tests/test_tensor_parallel.py):
@@ -494,21 +658,37 @@ def make_tp_train_step(cfg: CleanUMambaConfig, loss_cfg, opt_cfg, mesh: Mesh,
                 treedef, [fn(g, s) for g, s in zip(leaves, flat_specs)])
 
         def local_step(p_tp, opt_state, batch):
-            clean, noisy = batch
+            clean, noisy = batch  # each (accum, B, L)
 
-            def loss_f(p):
-                pp, nz = p, noisy
+            def loss_f(p, c, nz):
+                pp = p
                 if bf16:
                     pp = jax.tree_util.tree_map(
                         lambda x: x.astype(jnp.bfloat16)
                         if x.dtype == jnp.float32 else x, p)
-                    nz = noisy.astype(jnp.bfloat16)
-                y = _tp_forward_local(pp, nz, cfg, axis, n, chunk, scan_impl)
+                    nz = nz.astype(jnp.bfloat16)
+                fwd = lambda q, v: _tp_forward_local(  # noqa: E731
+                    q, v, cfg, axis, n, chunk, scan_impl)
+                if remat:
+                    fwd = jax.checkpoint(fwd)
+                y = fwd(pp, nz)
                 loss, aux = _loss_fn(y.astype(jnp.float32),
-                                     clean.astype(jnp.float32), loss_cfg)
+                                     c.astype(jnp.float32), loss_cfg)
                 return loss / n, aux
 
-            (_, aux), grads = jax.value_and_grad(loss_f, has_aux=True)(p_tp)
+            grad_fn = jax.value_and_grad(loss_f, has_aux=True)
+
+            def micro(acc, xs):
+                c, nz = xs
+                (_, aux), g = grad_fn(p_tp, c, nz)
+                return jax.tree_util.tree_map(jnp.add, acc, g), aux
+
+            zero = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), p_tp)
+            grads, auxs = lax.scan(micro, zero, (clean, noisy))
+            n_micro = clean.shape[0]
+            grads = jax.tree_util.tree_map(lambda g: g / n_micro, grads)
+            aux = jax.tree_util.tree_map(jnp.mean, auxs)
             # replicated leaves: each device holds a PARTIAL grad (only its
             # own shard's adjoint path) -> all-reduce over the model axis
             grads = _over_leaves(
@@ -535,7 +715,8 @@ def make_tp_train_step(cfg: CleanUMambaConfig, loss_cfg, opt_cfg, mesh: Mesh,
             aux["grads_finite"] = jnp.isfinite(norm)
             return new_p, new_opt, aux
 
-        b_spec = P(data_axis) if data_axis else P()
+        # batch (accum, B, L): accum axis replicated, batch axis data-sharded
+        b_spec = P(None, data_axis) if data_axis else P()
         stepped = shard_map(
             local_step, mesh=mesh,
             in_specs=(specs, opt_specs, (b_spec, b_spec)),

@@ -49,6 +49,46 @@ def test_tp_forward_matches(n, bypass, normalize):
     assert _rel(got, ref) < 2e-5
 
 
+@pytest.mark.parametrize("n", [2, 4])
+def test_tp_forward_matches_mamba2(n):
+    """mamba2 (SSD) TP: heads + d_inner shard over the model axis, B/C
+    replicated; must equal the plain forward."""
+    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": "mamba2"})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 801)), jnp.float32)
+    ref = forward(params, x, cfg)
+    mesh = _mesh((n,), ("model",))
+    got = tp_forward(params, x, cfg, mesh, scan_impl="xla")
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < 2e-5
+
+
+def test_tp_forward_pallas_interpret_branch():
+    """The scan_impl='pallas' branch of _tp_mixer_forward, executed via
+    Pallas interpret mode on the CPU mesh (covers the TPU code path the
+    CPU-only suite would otherwise never run), values AND gradients."""
+    cfg = CleanUMambaConfig(**TINY)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 801)), jnp.float32)
+    ref = forward(params, x, cfg, scan_impl="xla")
+    mesh = _mesh((2,), ("model",))
+    got = tp_forward(params, x, cfg, mesh, scan_impl="pallas_interpret")
+    assert _rel(got, ref) < 2e-4
+
+    def loss_ref(p):
+        return jnp.sum(jnp.square(forward(p, x, cfg, scan_impl="xla")))
+
+    def loss_tp(p):
+        return jnp.sum(jnp.square(
+            tp_forward(p, x, cfg, mesh, scan_impl="pallas_interpret")))
+
+    g_ref = jax.grad(loss_ref)(params)
+    g_tp = jax.grad(loss_tp)(params)
+    worst = max(_rel(t, r) for t, r in zip(jax.tree_util.tree_leaves(g_tp),
+                                           jax.tree_util.tree_leaves(g_ref)))
+    assert worst < 5e-3, worst
+
+
 def test_tp_param_memory_shards():
     """The big leaves really are sharded: local slice = 1/n of the global."""
     cfg = CleanUMambaConfig(**TINY)
@@ -91,10 +131,10 @@ def test_tp_rejects_non_mamba():
         tp_prepare(params, cfg, 2)
 
 
-def _train_setup():
+def _train_setup(bottleneck="mamba"):
     from cleanumamba_tpu.config import (LossConfig, OptimizationConfig,
                                         STFTLossConfig)
-    cfg = CleanUMambaConfig(**TINY)
+    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": bottleneck})
     loss_cfg = LossConfig(stft_config=STFTLossConfig(
         fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,)))
     opt_cfg = OptimizationConfig(n_iters=100, bf16=False,
@@ -146,8 +186,10 @@ def test_tp_grads_match_single_device():
     assert worst < 1e-4, worst
 
 
-@pytest.mark.parametrize("data_axis", [None, "data"])
-def test_tp_train_step_matches_single_device(data_axis):
+@pytest.mark.parametrize("data_axis,bottleneck",
+                         [(None, "mamba"), ("data", "mamba"),
+                          (None, "mamba2"), ("data", "mamba2")])
+def test_tp_train_step_matches_single_device(data_axis, bottleneck):
     """TP (and DP x TP) training == the single-device step: same params
     after 2 updates (pins the replicated-grad psum, the psum(loss)/n
     seeding, and the TP-aware global-norm clip).
@@ -160,7 +202,7 @@ def test_tp_train_step_matches_single_device(data_axis):
     gradient magnitude — so those elements diverge by up to 2*lr per step.
     Loss and grad-norm stay tight."""
     from cleanumamba_tpu.parallel.tensor import make_tp_train_step, tp_unprepare
-    cfg, loss_cfg, opt_cfg, params, clean, noisy = _train_setup()
+    cfg, loss_cfg, opt_cfg, params, clean, noisy = _train_setup(bottleneck)
     ref_params, ref_aux = _ref_steps(cfg, loss_cfg, opt_cfg, params,
                                      clean, noisy, 2)
 
@@ -173,7 +215,8 @@ def test_tp_train_step_matches_single_device(data_axis):
     p_tp, opt_state, step = make(params)
     aux = None
     for _ in range(2):
-        p_tp, opt_state, aux = step(p_tp, opt_state, (clean, noisy))
+        p_tp, opt_state, aux = step(p_tp, opt_state,
+                                    (clean[None], noisy[None]))
     got = tp_unprepare(jax.device_get(p_tp), cfg, 4)
 
     flat_ref = jax.tree_util.tree_leaves(ref_params)
@@ -182,6 +225,80 @@ def test_tp_train_step_matches_single_device(data_axis):
     assert worst < 2e-3, worst
     assert abs(float(aux["loss"]) - float(ref_aux["loss"])) < 1e-4
     assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4
+
+
+def test_tp_train_step_grad_accum_matches_dp_step():
+    """accum=2 under TP == the single-device step fed the SAME (2, B, L)
+    microbatch stack (pins the lax.scan accumulation semantics against
+    make_train_step's — reference batch_size_total, train.py:232-299)."""
+    from cleanumamba_tpu.parallel.tensor import make_tp_train_step, tp_unprepare
+    cfg, loss_cfg, opt_cfg, params, clean, noisy = _train_setup()
+    stack = (clean.reshape(2, 2, -1), noisy.reshape(2, 2, -1))
+    from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
+    optimizer = make_optimizer(opt_cfg)
+    ref_step = make_train_step(cfg, loss_cfg, optimizer, bf16=False)
+    ref_params, _, ref_aux = ref_step(params, optimizer.init(params), stack)
+
+    mesh = _mesh((4,), ("model",))
+    make = make_tp_train_step(cfg, loss_cfg, opt_cfg, mesh, bf16=False)
+    p_tp, opt_state, step = make(params)
+    p_tp, opt_state, aux = step(p_tp, opt_state, stack)
+    got = tp_unprepare(jax.device_get(p_tp), cfg, 4)
+    worst = max(_rel(g, r) for g, r in zip(jax.tree_util.tree_leaves(got),
+                                           jax.tree_util.tree_leaves(ref_params)))
+    assert worst < 2e-3, worst
+    assert abs(float(aux["loss"]) - float(ref_aux["loss"])) < 1e-4
+    assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4
+
+
+def test_tp_train_step_remat_same_values():
+    """remat=True is a memory/recompute trade only — the updated params must
+    be bitwise-level identical to the non-remat step."""
+    from cleanumamba_tpu.parallel.tensor import make_tp_train_step
+    cfg, loss_cfg, opt_cfg, params, clean, noisy = _train_setup()
+    mesh = _mesh((4,), ("model",))
+    outs = []
+    for remat in (False, True):
+        make = make_tp_train_step(cfg, loss_cfg, opt_cfg, mesh, bf16=False,
+                                  remat=remat)
+        # the step donates its param/opt buffers; replicated leaves pass
+        # through tp_prepare by reference, so feed a fresh copy per run
+        p_tp, opt_state, step = make(
+            jax.tree_util.tree_map(jnp.array, params))
+        p_tp, _, aux = step(p_tp, opt_state, (clean[None], noisy[None]))
+        outs.append((jax.device_get(p_tp), float(aux["loss"])))
+    (p0, l0), (p1, l1) = outs
+    assert l0 == pytest.approx(l1, abs=1e-7)
+    worst = max(_rel(a, b) for a, b in zip(jax.tree_util.tree_leaves(p1),
+                                           jax.tree_util.tree_leaves(p0)))
+    assert worst < 1e-6, worst
+
+
+def test_tp_opt_state_roundtrip_mamba2():
+    """mamba2's TP layout RESTRUCTURES the mixer dict (split leaves), so the
+    opt-state permute must use matching templates each direction; the round
+    trip is exact."""
+    from cleanumamba_tpu.config import OptimizationConfig
+    from cleanumamba_tpu.parallel.tensor import (tp_opt_state_like,
+                                                 tp_permute_like)
+    from cleanumamba_tpu.train.trainer import make_optimizer
+
+    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": "mamba2"})
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    opt = make_optimizer(OptimizationConfig(n_iters=10))
+    state = opt.init(params)
+    # non-trivial moments: graft the (random-valued) params into mu/nu
+    pdef = jax.tree_util.tree_structure(params)
+    is_pl = lambda x: jax.tree_util.tree_structure(x) == pdef  # noqa: E731
+    state = jax.tree_util.tree_map(
+        lambda x: params if is_pl(x) else x, state,
+        is_leaf=lambda x: is_pl(x) if not isinstance(x, jnp.ndarray) else False)
+    fwd = tp_opt_state_like(state, params, cfg, 2)
+    params_tp_shape = tp_permute_like(params, cfg, 2)
+    back = tp_opt_state_like(fwd, params_tp_shape, cfg, 2, inverse=True)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(state)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_tp_opt_state_roundtrip():
@@ -241,7 +358,7 @@ def test_tp_cli_train_bank_resume(tmp_path):
             "log": {"directory": str(tmp_path / "exp"), "ckpt_iter": "max",
                     "iters_per_ckpt": 4, "iters_per_valid": 100000},
             "optimization": {
-                "n_iters": 100, "batch_size_total": 4,
+                "n_iters": 100, "batch_size_total": 8,
                 "batch_size_per_gpu": 1, "autocast": False,
                 "learning_rate": 1e-3, "clip_grad_norm_max": 10,
             },
@@ -271,6 +388,17 @@ def test_tp_cli_train_bank_resume(tmp_path):
     main(["-c", cpath, "-e", epath, "--synthetic", "--max-iters", "8",
           "--model-parallel", "2", "--log-every", "2"])
     ck2 = load_checkpoint(os.path.join(ckpt_dir, "7.pkl"))
+    moved = False
     for a, b in zip(jax.tree_util.tree_leaves(ck2["params"]),
                     jax.tree_util.tree_leaves(ck["params"])):
         assert np.shape(a) == np.shape(b)
+        moved = moved or not np.array_equal(np.asarray(a), np.asarray(b))
+    # the resumed run actually TRAINED from the banked state (it did not
+    # silently reinitialize): params moved between iter 5 and iter 7, and
+    # the iter-7 optimizer count reflects 8 total updates, not 2
+    assert moved
+    counts = [int(np.asarray(leaf)) for leaf in
+              jax.tree_util.tree_leaves(ck2["opt_state"])
+              if np.ndim(leaf) == 0 and np.issubdtype(
+                  np.asarray(leaf).dtype, np.integer)]
+    assert 8 in counts, counts

@@ -91,11 +91,20 @@ _POW_SCALE = 0.4543
 # (fractional-bin band powers vs its bin counts + correction table, plus any
 # remaining structural deviation of the disturbance block).  Plain
 # multipliers — round 2's fitted power-law exponents are gone; fitted
-# together with _POW_SCALE (scripts/calibrate_pesq.py).  Anchor agreement at
-# these values: MNRU family within +-0.2 MOS; additive-noise mean |err|
-# 0.23, max 0.65 (low-SNR AWGN on the sparse material) — see the script's
-# honesty note for why sub-0.1 anchor conformance is not attainable without
-# the ITU binary and real speech.
+# together with _POW_SCALE (scripts/calibrate_pesq.py) on the SPARSE
+# synthetic material (eval/synth.py::speech_like — the generator with
+# speech-like pauses and modulation; an earlier note here misattributed the
+# fit to speech_dense).  Anchor agreement at these values, on speech_like:
+# mean |err| 0.230, max 0.584 (MNRU within +-0.22; AWGN mean 0.33).
+# Exhaustive 3-constant grid search shows these are calibration FLOORS,
+# not fitting slack: joint floor 0.219, AWGN-only floor 0.182 (sacrificing
+# MNRU to 0.31).  On the always-active broadband speech_dense material the
+# psychoacoustic model compresses (loud energy in every band-frame masks
+# multiplicative/additive noise in the deadzone+asymmetry stages) and the
+# floor is 0.662 — absolute PESQ values on dense material are NOT
+# calibrated; only orderings are used there (scripts/zoo_quality.py,
+# resolution rule 0.35 MOS).  Full measurement + waiver:
+# docs/pesq_conformance.md.
 _C_SYM = 1.611
 _C_ASYM = 0.00816
 

@@ -15,18 +15,25 @@ and disturbance pipeline.  Three scalars remain free:
 They are fitted on anchor conditions from the two published
 characterisation families (MNRU speech-correlated noise at Q dB ->
 narrow-band MOS-LQO; additive white noise at active-speech SNR ->
-wide-band MOS-LQO), evaluated on DENSE broadband speech-like material
-(eval/synth.py::speech_dense) — the closest available stand-in for the real
-speech corpora the published curves were measured on.
+wide-band MOS-LQO), evaluated on the SPARSE material
+(eval/synth.py::speech_like) — the generator whose pause/modulation
+structure is closest to the real speech corpora the published curves were
+measured on.  (An earlier version of this note claimed the fit material
+was speech_dense; it is not, and cannot be: on always-active broadband
+dense material the psychoacoustic model compresses — loud energy in every
+band-frame masks the injected noise in the deadzone+asymmetry stages —
+and the 3-constant grid-search floor there is mean |err| 0.662.)
 
-IMPORTANT HONESTY NOTE (printed by --spread): perceptual metrics are
-sensitive to the material's voiced density / bandwidth / silence structure.
-The fit error below is the anchor agreement ON THIS MATERIAL; scoring the
-sparse `speech_like` material against the same targets shifts results by
-up to ~0.5 MOS on mid-range conditions.  Absolute DNS-parity claims
-therefore still require the ITU binary + real speech; within one material
-and one condition family the metric is a reliable ORDERING instrument,
-which is how the framework uses it (scripts/zoo_quality.py).
+IMPORTANT HONESTY NOTE (measured, see docs/pesq_conformance.md):
+perceptual metrics are sensitive to the material's voiced density /
+bandwidth / silence structure.  On speech_like the committed constants
+give mean |err| 0.230 / max 0.584 against a joint grid-search floor of
+0.219 (AWGN-only floor 0.182); on speech_dense the same conditions read
+up to 2.4 MOS high (MNRU Q=10: 4.25 vs target 1.88).  Absolute DNS-parity
+claims therefore require the ITU binary + real speech; within one
+material and one condition family the metric is an ORDERING instrument,
+which is how the framework uses it (scripts/zoo_quality.py, resolution
+rule 0.35 MOS).
 
 Usage:
     python scripts/calibrate_pesq.py            # evaluate current constants
@@ -111,7 +118,7 @@ def _errs(rows, c_sym, c_asym):
     return np.asarray(errs)
 
 
-def evaluate(gen=speech_dense, verbose=True):
+def evaluate(gen=speech_like, verbose=True):
     rows = _raw_aggregates(gen)
     errs = _errs(rows, P._C_SYM, P._C_ASYM)
     if verbose:
@@ -128,7 +135,7 @@ def fit():
     best = (np.inf, None)
     for ps in np.geomspace(0.003, 0.3, 9):
         P._POW_SCALE = float(ps)
-        rows = _raw_aggregates(speech_dense)
+        rows = _raw_aggregates(speech_like)
         for cs in np.geomspace(0.05, 4.0, 25):
             for ca in np.geomspace(0.01, 4.0, 31):
                 errs = _errs(rows, cs, ca)
@@ -151,12 +158,12 @@ def main():
     if args.fit:
         fit()
     elif args.spread:
-        print("dense material (calibration material):")
-        evaluate(speech_dense)
-        print("\nsparse material (eval/synth.py speech_like):")
+        print("sparse material (calibration material, speech_like):")
         evaluate(speech_like)
+        print("\ndense material (zoo ordering material, speech_dense):")
+        evaluate(speech_dense)
     else:
-        evaluate()
+        evaluate(speech_like)
 
 
 if __name__ == "__main__":

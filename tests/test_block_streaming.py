@@ -20,6 +20,7 @@ MINI = dict(
 )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bottleneck", ["mamba", "lstm"])
 @pytest.mark.parametrize("N", [1, 4, 7])
 @pytest.mark.parametrize("normalize_input", [False, True])
@@ -52,6 +53,7 @@ def test_block_equals_per_frame(bottleneck, N, normalize_input):
     np.testing.assert_allclose(block_out, np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_block_matches_offline():
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
     params = init_params(jax.random.PRNGKey(1), cfg)

@@ -57,6 +57,7 @@ def test_pruned_ragged_widths():
         "pruned/CleanUMamba-3N-E6_pruned-200k.pkl",
     ],
 )
+@pytest.mark.slow
 def test_converted_forward_runs(rel):
     cfg, params, _ = load_reference_checkpoint(f"{CKPTS}/{rel}")
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4000)) * 0.1, jnp.float32)

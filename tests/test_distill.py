@@ -1,5 +1,6 @@
 """KD training-path test: student+adapters optimise against a frozen teacher."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -16,6 +17,7 @@ STUDENT = dict(channels_H=8, max_H=16, encoder_n_layers=4, tsfm_n_layers=2,
                tsfm_n_head=2, tsfm_d_model=16, tsfm_d_inner=32)
 
 
+@pytest.mark.slow
 def test_kd_step_runs_and_improves():
     t_cfg = CleanUMambaConfig(**TEACHER)
     s_cfg = CleanUMambaConfig(**STUDENT)

@@ -50,6 +50,7 @@ def _ragged_checkpoint(tmp_path):
     return cfg, params, path
 
 
+@pytest.mark.slow
 def test_finetune_cli_ragged_roundtrip(tmp_path):
     """Drive cli/finetune.py end-to-end on a ragged checkpoint: the loop must
     run, log decreasing loss to the JSONL sink, and save a reloadable

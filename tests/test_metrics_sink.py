@@ -5,6 +5,7 @@ Replaces the reference's wandb system-of-record (train.py:196-211,
 pruning/util.py:146-212) with an append-only JSONL file keyed by run_id.
 """
 
+import pytest
 import json
 import os
 
@@ -83,6 +84,7 @@ def _prune_cfg():
     )
 
 
+@pytest.mark.slow
 def test_killed_pruning_run_reconstructs_trajectory(tmp_path):
     cfg = CleanUMambaConfig(**TINY)
     loss_cfg = LossConfig(

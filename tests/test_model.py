@@ -56,6 +56,7 @@ def test_forward_backward_smoke(bottleneck):
     assert all(np.isfinite(np.asarray(g)).all() for g in flat)
 
 
+@pytest.mark.slow
 def test_output_length_matches_input():
     cfg = CleanUMambaConfig(**MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)

@@ -65,6 +65,7 @@ def test_importance_zero_channel(setup):
     assert np.all(np.asarray(imps["weight"])[np.arange(len(imps["weight"])) != 5] > 0)
 
 
+@pytest.mark.slow
 def test_every_group_prunes_and_forward_runs(setup):
     cfg, params, grads, noisy = setup
     n0 = count_params(params)
@@ -147,6 +148,7 @@ def test_selection_rules(setup):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_prune_with_optimizer_state(setup):
     cfg, params, grads, noisy = setup
     from cleanumamba_tpu.train.trainer import make_optimizer, make_train_step
@@ -192,6 +194,7 @@ def test_calc_importance_expression():
     np.testing.assert_allclose(calc_importance(imps, "a+b-a"), [2.0, 4.0])
 
 
+@pytest.mark.slow
 def test_importance_loss_experiment_and_scatter(setup, tmp_path):
     """Port of the reference calibration harness (layerwise_calibration.py
     :161-276): per-group random-prune probes record loss change next to the

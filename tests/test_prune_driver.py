@@ -56,6 +56,7 @@ def test_get_state_rejects_misphased_configs():
         get_state(0, 2, 8, 4, 3, steps_per_valid=2, steps_per_ckpt=4, steps_per_calibrate=2)
 
 
+@pytest.mark.slow
 def test_pruning_pipeline_shrinks_model():
     cfg = CleanUMambaConfig(**TINY)
     loss_cfg = LossConfig(
@@ -100,6 +101,7 @@ def test_pruning_pipeline_shrinks_model():
     assert all(a > b for a, b in zip(counts, counts[1:]))
 
 
+@pytest.mark.slow
 def test_calibrator_scales():
     from cleanumamba_tpu.prune.calibrate import Calibrator
     from cleanumamba_tpu.prune.groups import build_groups

@@ -1,5 +1,6 @@
 """Weight-only int8 quantization tests (quant.py + Streamer weights="int8")."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -57,6 +58,7 @@ def test_small_leaves_left_dense():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_int8_streamer_tracks_fp32():
     """Streamer(weights="int8") output stays close to the fp32 streamer on
     the same audio (weight-only quantization, per-channel scales)."""

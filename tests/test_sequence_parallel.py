@@ -47,6 +47,7 @@ def _reference_zero_primed(params, cfg, x, total):
     (8, False, "mamba2"), (4, True, "mamba2"),
     (8, False, "mamba_s4"), (4, True, "mamba_s4"),
 ])
+@pytest.mark.slow
 def test_sp_denoise_matches_streaming(n_dev, normalize, bottleneck):
     assert jax.device_count() >= n_dev
     mesh = make_mesh(n_dev)
@@ -91,6 +92,7 @@ def _sp_total(cfg, L, n_dev):
     return total
 
 
+@pytest.mark.slow
 def test_sp_short_input_pads_up():
     """Inputs shorter than the per-device halo pad up instead of crashing
     with opaque shape errors, and still match the reference."""
@@ -108,6 +110,7 @@ def test_sp_short_input_pads_up():
     np.testing.assert_allclose(y_sp, y_ref, atol=3e-4, rtol=2e-3)
 
 
+@pytest.mark.slow
 def test_sp_batch2_normalized():
     """B=2 exercises the batch axis through the EMA all_gather reshape
     (a transposed-axes bug there is invisible at B=1)."""

@@ -46,6 +46,7 @@ def test_pack_gates(params):
     assert pack_mega(pbig, big_cfg, jnp.bfloat16) is None
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("normalize", [False, True])
 def test_mega_step_equals_xla(params, normalize):
     cfg = CFG if not normalize else CleanUMambaConfig(
@@ -74,6 +75,7 @@ def test_mega_step_equals_xla(params, normalize):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mega_bf16_tracks_fp32(params):
     """bf16 packs track the fp32 step within bf16 tolerance (the latency
     configuration on chip)."""
@@ -92,6 +94,7 @@ def test_mega_bf16_tracks_fp32(params):
     assert float(jnp.abs(ym - yr).max()) / scale < 0.05
 
 
+@pytest.mark.slow
 def test_streamer_mega_offline_equivalence(params):
     """fused='mega' Streamer matches the offline forward (the reference's
     own streaming invariant, CleanUMamba.py:568-591)."""
@@ -131,6 +134,7 @@ def test_streamer_auto_prefers_mega(params, monkeypatch):
     assert Streamer(params, CFG).fused_mode == "xla"
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["mamba2", "lstm", "mamba_s4", "mha"])
 def test_mega_step_equals_xla_mamba2(params, kind):
     cfg = CleanUMambaConfig(

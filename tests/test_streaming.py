@@ -58,6 +58,7 @@ def test_streaming_with_normalization_runs():
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("normalize_input", [False, True])
 def test_feed_chunking_invariance(normalize_input):
     """Streamer output is independent of how the audio is chunked into
@@ -119,6 +120,7 @@ def test_stream_many_matches_step_loop():
     np.testing.assert_allclose(streamed, expect, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_real_checkpoint_streaming_equivalence():
     """Trained-weight equivalence on the released checkpoints (CPU, fp32).
 
@@ -153,6 +155,7 @@ def test_real_checkpoint_streaming_equivalence():
                                    err_msg=name)
 
 
+@pytest.mark.slow
 def test_flush_tail_lengths():
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)

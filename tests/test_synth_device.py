@@ -7,6 +7,7 @@ host->device data traffic (no reference counterpart — its data path is a
 torch DataLoader over wav files, src/dataset.py).
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -42,6 +43,7 @@ def test_synth_batch_distribution():
     assert not np.array_equal(c, np.asarray(c3))
 
 
+@pytest.mark.slow
 def test_device_data_steps_match_manual_loop():
     """The fused K-step scan must equal K sequential step_fn calls fed the
     same on-device batches (same key-folding order)."""
@@ -74,6 +76,7 @@ def test_device_data_steps_match_manual_loop():
                                    atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_device_data_steps_sharded():
     """8-device DP composition: each device synthesizes its local batch from
     its axis-folded key, gradients pmean in-step; params stay replicated and

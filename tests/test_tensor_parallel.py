@@ -35,6 +35,7 @@ def _rel(a, b):
     return np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-12)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 @pytest.mark.parametrize("bypass,normalize", [(0, False), (4, True)])
 def test_tp_forward_matches(n, bypass, normalize):
@@ -49,6 +50,7 @@ def test_tp_forward_matches(n, bypass, normalize):
     assert _rel(got, ref) < 2e-5
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4])
 def test_tp_forward_matches_mamba2(n):
     """mamba2 (SSD) TP: heads + d_inner shard over the model axis, B/C
@@ -63,6 +65,7 @@ def test_tp_forward_matches_mamba2(n):
     assert _rel(got, ref) < 2e-5
 
 
+@pytest.mark.slow
 def test_tp_forward_pallas_interpret_branch():
     """The scan_impl='pallas' branch of _tp_mixer_forward, executed via
     Pallas interpret mode on the CPU mesh (covers the TPU code path the
@@ -106,6 +109,7 @@ def test_tp_param_memory_shards():
                            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
 
 
+@pytest.mark.slow
 def test_tp_dp_compose():
     """2-D mesh: batch over 'data' x weights over 'model'."""
     cfg = CleanUMambaConfig(**TINY)
@@ -159,6 +163,7 @@ def _ref_steps(cfg, loss_cfg, opt_cfg, params, clean, noisy, n_steps):
     return params, aux
 
 
+@pytest.mark.slow
 def test_tp_grads_match_single_device():
     """The TP backward is EXACT: per-leaf gradients through the shard_map'd
     forward (tp_prepare is inside tp_forward and differentiable, so grads
@@ -189,6 +194,7 @@ def test_tp_grads_match_single_device():
 @pytest.mark.parametrize("data_axis,bottleneck",
                          [(None, "mamba"), ("data", "mamba"),
                           (None, "mamba2"), ("data", "mamba2")])
+@pytest.mark.slow
 def test_tp_train_step_matches_single_device(data_axis, bottleneck):
     """TP (and DP x TP) training == the single-device step: same params
     after 2 updates (pins the replicated-grad psum, the psum(loss)/n
@@ -227,6 +233,7 @@ def test_tp_train_step_matches_single_device(data_axis, bottleneck):
     assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4
 
 
+@pytest.mark.slow
 def test_tp_train_step_grad_accum_matches_dp_step():
     """accum=2 under TP == the single-device step fed the SAME (2, B, L)
     microbatch stack (pins the lax.scan accumulation semantics against
@@ -251,6 +258,7 @@ def test_tp_train_step_grad_accum_matches_dp_step():
     assert _rel(float(aux["grad_norm"]), float(ref_aux["grad_norm"])) < 1e-4
 
 
+@pytest.mark.slow
 def test_tp_train_step_remat_same_values():
     """remat=True is a memory/recompute trade only — the updated params must
     be bitwise-level identical to the non-remat step."""
@@ -334,6 +342,7 @@ def test_tp_opt_state_roundtrip():
                for a, b in zip(flat_f, flat_s))
 
 
+@pytest.mark.slow
 def test_tp_cli_train_bank_resume(tmp_path):
     """cli/train.py --model-parallel end-to-end on the 8-device CPU mesh
     (TP=2 x DP=4): trains, banks a CANONICAL-layout checkpoint that the

@@ -68,6 +68,7 @@ def test_schedule_matches_reference_semantics():
     assert all(a >= b for a, b in zip(vals, vals[1:]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("bf16", [False, True])
 def test_loss_decreases_overfit(bf16):
     """bf16=True runs the full bf16-activation path (params AND input cast;
@@ -82,6 +83,7 @@ def test_loss_decreases_overfit(bf16):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_grad_accumulation_equivalence():
     """accum=4 with micro-batch 1 == accum=1 with batch 4 (same grads).
 
@@ -109,6 +111,7 @@ def test_grad_accumulation_equivalence():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+@pytest.mark.slow
 def test_multi_device_dp_step():
     """DP over the 8-device CPU mesh: batch sharded, params replicated."""
     assert jax.device_count() >= 8
@@ -192,6 +195,7 @@ def test_synthetic_dataset_loader():
     assert cb.shape == (4, 8000)
 
 
+@pytest.mark.slow
 def test_remat_step_matches_plain():
     """remat=True (jax.checkpoint over the model forward) computes the same
     loss and (to float tolerance) the same gradients — it only trades

@@ -26,6 +26,18 @@ intra-layer sharding, laid out so every U-Net level costs exactly ONE
   the GLU gates locally, and the transposed conv is row-parallel over its
   input channels -> one psum of the upsampled ``(B, 2T, Cout)`` output.
 
+- **MHA bottleneck** (the "CleanUNet" variant): the original Megatron
+  construction — Q/K/V column-parallel over whole heads, the attention
+  output projection and FFN down-projection row-parallel (two psums per
+  layer).
+- **MambaS4 mixer**: ``d_inner`` shards exactly like mamba (x|z
+  interleave), ``input_linear`` row-parallel into the tiny replicated-H S4
+  long convolution, ``output_linear`` column-parallel with its GLU [A|B]
+  halves interleaved, ``out_proj`` row-parallel.
+- **LSTM**: waived on principle — the dense recurrence consumes the FULL
+  hidden state every timestep, so any hidden-dim sharding costs one
+  collective per timestep (625/forward at 10 s); LSTM models train DP.
+
 Weights are genuinely sharded (``PartitionSpec`` on the parallel dim of
 each leaf — per-device parameter memory is ~1/n for the big matrices);
 activations entering/leaving each level are replicated on the model axis,
@@ -193,6 +205,80 @@ def _tp_unsplit_mixer2(mx_tp, n: int):
     }
 
 
+def _tp_prepare_s4_mixer(mx, l: int, n: int, axis: str):
+    """Megatron-style sharding of the MambaS4 mixer (bottleneck_s4).
+
+    ``d_inner`` shards: ``in_proj`` column-parallel with the x|z halves
+    block-interleaved (exactly like mamba), the depthwise conv is
+    channel-local, ``input_linear`` (d_inner -> H) is row-parallel (psum of
+    the tiny (B, T, H) projection), the S4 long convolution itself runs
+    REPLICATED — its width H = d_state_s4 (16 on the released geometry) is
+    far below a useful shard and the kernel construction is O(H*N*L)
+    elementwise — and ``output_linear`` (H -> 2*d_inner) is column-parallel
+    with its GLU [A | B] halves block-interleaved so the gate is local;
+    ``out_proj`` is row-parallel.  Two activation psums per block, same
+    count as the mamba mixer.
+    """
+    d_inner = mx["conv_w"].shape[1]
+    _check_div(f"bottleneck[{l}].d_inner", d_inner, n)
+    rep = P()
+    perm_xz = _interleave_perm([d_inner, d_inner], n)
+    perm_ab = _interleave_perm([d_inner, d_inner], n)
+    mx_p = dict(mx)
+    mx_p["in_proj"] = mx["in_proj"][:, perm_xz]
+    mx_p["output_linear_w"] = mx["output_linear_w"][:, perm_ab]
+    mx_p["output_linear_b"] = mx["output_linear_b"][perm_ab]
+    mx_s = {
+        "in_proj": P(None, axis),
+        "conv_w": P(None, axis),
+        "conv_b": P(axis),
+        "input_linear_w": P(axis, None),
+        "input_linear_b": rep,  # added once, after the psum
+        "kernel": jax.tree_util.tree_map(lambda _: rep, mx["kernel"]),
+        "ssm_D": rep,
+        "output_linear_w": P(None, axis),
+        "output_linear_b": P(axis),
+        "out_proj": P(axis, None),
+    }
+    return mx_p, mx_s
+
+
+def _tp_prepare_mha(bott, cfg, n: int, axis: str):
+    """Megatron-style sharding of the MHA ("CleanUNet") bottleneck — the
+    original tensor-parallel construction (Megatron-LM): Q/K/V projections
+    column-parallel over heads (the head blocks are contiguous columns, so
+    a plain 1/n column slice holds n_head/n whole heads and the unmodified
+    attention code is correct locally), the attention output projection
+    row-parallel (psum), the FFN up-projection column-parallel and
+    down-projection row-parallel (psum).  Norms and residuals replicated.
+    Two activation psums per layer.
+    """
+    rep = P()
+    d = bott["layers"][0]["w_qs"].shape[0]
+    _check_div("mha.n_head", cfg.tsfm_n_head, n)
+    _check_div("mha.d_model", d, n)
+    layers_p, layers_s = [], []
+    for lp in bott["layers"]:
+        _check_div("mha.ffn_d_inner", lp["ffn_b1"].shape[0], n)
+        layers_p.append(dict(lp))
+        layers_s.append({
+            "w_qs": P(None, axis),
+            "w_ks": P(None, axis),
+            "w_vs": P(None, axis),
+            "fc": P(axis, None),
+            "attn_norm": {"scale": rep, "bias": rep},
+            "ffn_w1": P(None, axis),
+            "ffn_b1": P(axis),
+            "ffn_w2": P(axis, None),
+            "ffn_b2": rep,  # added once, after the psum
+            "ffn_norm": {"scale": rep, "bias": rep},
+        })
+    return (
+        {"layers": layers_p, "enc_norm": dict(bott["enc_norm"])},
+        {"layers": layers_s, "enc_norm": {"scale": rep, "bias": rep}},
+    )
+
+
 def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
                axis: str = "model") -> Tuple[Params, Any]:
     """Return ``(params_tp, specs)``: the parameter pytree with GLU/x|z
@@ -201,10 +287,17 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
 
     Pure host-side reindexing — cheap, done once per (params, n).
     """
-    if cfg.bottleneck not in ("mamba", "mamba2"):
+    if cfg.bottleneck == "lstm":
+        # Principled waiver, not a TODO: the LSTM recurrence h_t needs the
+        # FULL h_{t-1} through the dense (h, 4h) recurrent matrix, so
+        # sharding the hidden dim costs one collective PER TIMESTEP (625
+        # psums per 10 s forward at total_stride 256) — latency-bound, no
+        # sensible TP mapping exists (Megatron-style TP covers attention
+        # and channel-local SSMs only).  LSTM models train data-parallel.
         raise NotImplementedError(
-            f"tensor parallelism implemented for the mamba/mamba2 "
-            f"bottlenecks (flagship families); got {cfg.bottleneck!r}"
+            "tensor parallelism: the LSTM bottleneck's dense recurrence "
+            "requires a per-timestep collective and does not shard; use "
+            "data parallelism (see tp_prepare docstring)"
         )
     rep = P()
     out_p: Params = {}
@@ -239,11 +332,24 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
     out_p["tsfm_conv2"] = params["tsfm_conv2"]
     out_s["tsfm_conv2"] = {"w": rep, "b": rep}
 
+    if cfg.bottleneck == "mha":
+        out_p["bottleneck"], out_s["bottleneck"] = _tp_prepare_mha(
+            params["bottleneck"], cfg, n, axis)
+        return _tp_prepare_decoder(params, cfg, n, axis, out_p, out_s)
+
     layers_p, layers_s = [], []
     for l, lp in enumerate(params["bottleneck"]["layers"]):
         mx = lp["mixer"]
         if "dt_bias" in mx:  # mamba2 (SSD): per-head scalar decay
             mx_p, mx_s = _tp_prepare_mixer2(mx, l, n, axis)
+            layers_p.append({"norm": dict(lp["norm"]), "mixer": mx_p})
+            layers_s.append({
+                "norm": jax.tree_util.tree_map(lambda _: rep, lp["norm"]),
+                "mixer": mx_s,
+            })
+            continue
+        if "input_linear_w" in mx:  # mamba_s4 (S4 inner SSM)
+            mx_p, mx_s = _tp_prepare_s4_mixer(mx, l, n, axis)
             layers_p.append({"norm": dict(lp["norm"]), "mixer": mx_p})
             layers_s.append({
                 "norm": jax.tree_util.tree_map(lambda _: rep, lp["norm"]),
@@ -278,7 +384,15 @@ def tp_prepare(params: Params, cfg: CleanUMambaConfig, n: int,
         "norm_f": jax.tree_util.tree_map(
             lambda _: rep, params["bottleneck"]["norm_f"]),
     }
+    return _tp_prepare_decoder(params, cfg, n, axis, out_p, out_s)
 
+
+def _tp_prepare_decoder(params, cfg, n, axis, out_p, out_s):
+    """Decoder half of :func:`tp_prepare` (shared by every bottleneck
+    family): 1x1 mix column-parallel with the [bypass | A | B] GLU column
+    structure block-interleaved, ConvT row-parallel."""
+    rep = P()
+    D = len(params["encoder"])
     dec_p, dec_s = [], []
     for j, dp in enumerate(params["decoder"]):
         enc_i = D - 1 - j
@@ -316,10 +430,21 @@ def tp_permute_like(tree: Params, cfg: CleanUMambaConfig, n: int,
     reindexing."""
     out = jax.tree_util.tree_map(lambda x: x, tree)  # shallow copy
     for l, lp in enumerate(out["bottleneck"]["layers"]):
+        if "mixer" not in lp:  # mha: heads are contiguous — no permutation
+            continue
         mx = lp["mixer"]
         if "dt_bias" in mx:  # mamba2: split <-> canonical restructuring
             lp["mixer"] = (_tp_unsplit_mixer2(mx, n) if inverse
                            else _tp_prepare_mixer2(mx, l, n, "model")[0])
+            continue
+        if "input_linear_w" in mx:  # mamba_s4: x|z and GLU [A|B] interleaves
+            d_inner = mx["conv_w"].shape[1]
+            perm = _interleave_perm([d_inner, d_inner], n)
+            if inverse:
+                perm = np.argsort(perm)
+            mx["in_proj"] = mx["in_proj"][:, perm]
+            mx["output_linear_w"] = mx["output_linear_w"][:, perm]
+            mx["output_linear_b"] = mx["output_linear_b"][perm]
             continue
         d_inner = mx["dt_proj_w"].shape[1]
         perm = _interleave_perm([d_inner, d_inner], n)
@@ -465,6 +590,69 @@ def _tp_mixer2_forward(p, x, axis, n, chunk):
     return lax.psum(y @ p["out_proj"].astype(y.dtype), axis)
 
 
+def _tp_s4_mixer_forward(p, x, axis):
+    """Local-shard MambaS4 mixer (mirrors bottleneck_s4.mixer_forward /
+    _s4block_forward with the two TP psums).  The S4 long convolution runs
+    replicated on the full (tiny) H; d_inner is the sharded width."""
+    from cleanumamba_tpu.models.bottleneck_s4 import s4_kernel
+
+    m = p["conv_w"].shape[1]  # LOCAL d_inner/n
+    xz = x @ p["in_proj"].astype(x.dtype)   # (B, T, 2m) = [x_k | z_k]
+    xs, z = xz[..., :m], xz[..., m:]
+    xs = causal_depthwise_conv(xs, p["conv_w"], p["conv_b"])
+    xs = jax.nn.silu(xs)
+    # input_linear row-parallel: psum of the tiny (B, T, H) projection
+    u = lax.psum(xs @ p["input_linear_w"].astype(xs.dtype), axis) \
+        + p["input_linear_b"].astype(xs.dtype)
+    # S4 FFT long convolution, replicated (bottleneck_s4._s4block_forward)
+    B_, L, H = u.shape
+    k = s4_kernel(p["kernel"], L)  # (C=1, H, L)
+    nfft = 2 * L
+    uf = jnp.fft.rfft(u.astype(jnp.float32), n=nfft, axis=1)
+    kf = jnp.fft.rfft(k.astype(jnp.float32), n=nfft, axis=-1)
+    yf = uf[:, None] * jnp.moveaxis(kf, -1, 1)[None]
+    y = jnp.fft.irfft(yf, n=nfft, axis=2)[:, :, :L, :]
+    y = y + u.astype(jnp.float32)[:, None] \
+        * p["ssm_D"].astype(jnp.float32)[None, :, None, :]
+    y = y[:, 0].astype(x.dtype)
+    y = jax.nn.gelu(y, approximate=False)
+    # output_linear column-parallel, local slice is [A_k | B_k] -> local GLU
+    y = y @ p["output_linear_w"].astype(x.dtype) \
+        + p["output_linear_b"].astype(x.dtype)
+    half = y.shape[-1] // 2
+    y = y[..., :half] * jax.nn.sigmoid(y[..., half:])
+    y = y * jax.nn.silu(z)
+    return lax.psum(y @ p["out_proj"].astype(y.dtype), axis)  # row-parallel
+
+
+def _tp_mha_forward(params, x, cfg, axis, n):
+    """Local-shard MHA bottleneck (mirrors bottleneck_mha.forward with the
+    two Megatron psums per layer; Q/K/V hold n_head/n whole heads)."""
+    from cleanumamba_tpu.models.bottleneck_mha import _causal_attention
+
+    eps = cfg.norm_epsilon
+    heads_local = cfg.tsfm_n_head // n
+    x = layer_norm(x, params["enc_norm"]["scale"],
+                   params["enc_norm"]["bias"], eps)
+    for p in params["layers"]:
+        residual = x
+        q = x @ p["w_qs"].astype(x.dtype)
+        k = x @ p["w_ks"].astype(x.dtype)
+        v = x @ p["w_vs"].astype(x.dtype)
+        a = _causal_attention(q, k, v, heads_local)
+        a = lax.psum(a @ p["fc"].astype(x.dtype), axis)  # row-parallel
+        x = layer_norm(a + residual, p["attn_norm"]["scale"],
+                       p["attn_norm"]["bias"], eps)
+        residual = x
+        f = jax.nn.relu(x @ p["ffn_w1"].astype(x.dtype)
+                        + p["ffn_b1"].astype(x.dtype))
+        f = lax.psum(f @ p["ffn_w2"].astype(x.dtype), axis) \
+            + p["ffn_b2"].astype(x.dtype)               # row-parallel
+        x = layer_norm(f + residual, p["ffn_norm"]["scale"],
+                       p["ffn_norm"]["bias"], eps)
+    return x
+
+
 def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl, n=1):
     hidden = x
     residual = None
@@ -481,6 +669,8 @@ def _tp_bottleneck(params, x, cfg, axis, chunk, scan_impl, n=1):
         hidden = hidden.astype(x.dtype)
         if "dt_bias" in lp["mixer"]:
             hidden = _tp_mixer2_forward(lp["mixer"], hidden, axis, n, chunk)
+        elif "input_linear_w" in lp["mixer"]:
+            hidden = _tp_s4_mixer_forward(lp["mixer"], hidden, axis)
         else:
             hidden = _tp_mixer_forward(lp["mixer"], hidden, axis, chunk,
                                        scan_impl)
@@ -519,8 +709,11 @@ def _tp_forward_local(params, noisy, cfg, axis, n, chunk, scan_impl):
 
     x = x @ params["tsfm_conv1"]["w"][0].astype(x.dtype) \
         + params["tsfm_conv1"]["b"].astype(x.dtype)
-    x = _tp_bottleneck(params["bottleneck"], x, cfg, axis, chunk, scan_impl,
-                       n=n)
+    if cfg.bottleneck == "mha":
+        x = _tp_mha_forward(params["bottleneck"], x, cfg, axis, n)
+    else:
+        x = _tp_bottleneck(params["bottleneck"], x, cfg, axis, chunk,
+                           scan_impl, n=n)
     x = x @ params["tsfm_conv2"]["w"][0].astype(x.dtype) \
         + params["tsfm_conv2"]["b"].astype(x.dtype)
 

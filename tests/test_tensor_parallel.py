@@ -92,6 +92,40 @@ def test_tp_forward_pallas_interpret_branch():
     assert worst < 5e-3, worst
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [2, 4])
+def test_tp_forward_matches_mha(n):
+    """MHA ("CleanUNet") TP: Q/K/V column-parallel over heads, fc and
+    ffn_w2 row-parallel; must equal the plain forward.  n_head must divide
+    the mesh (4 heads here so n=4 holds whole heads per device)."""
+    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": "mha", "tsfm_n_head": 4})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 801)), jnp.float32)
+    ref = forward(params, x, cfg)
+    mesh = _mesh((n,), ("model",))
+    got = tp_forward(params, x, cfg, mesh)
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < 2e-5
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n", [2, 4])
+def test_tp_forward_matches_s4(n):
+    """MambaS4 TP: d_inner shards (x|z and GLU [A|B] interleaves), the S4
+    long convolution replicates on the tiny H; must equal the plain
+    forward."""
+    from cleanumamba_tpu.models.cleanumamba import prepare_for_length
+    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": "mamba_s4"})
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = prepare_for_length(params, cfg, 801)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 801)), jnp.float32)
+    ref = forward(params, x, cfg)
+    mesh = _mesh((n,), ("model",))
+    got = tp_forward(params, x, cfg, mesh, scan_impl="xla")
+    assert got.shape == ref.shape
+    assert _rel(got, ref) < 2e-5
+
+
 def test_tp_param_memory_shards():
     """The big leaves really are sharded: local slice = 1/n of the global."""
     cfg = CleanUMambaConfig(**TINY)
@@ -138,12 +172,18 @@ def test_tp_rejects_non_mamba():
 def _train_setup(bottleneck="mamba"):
     from cleanumamba_tpu.config import (LossConfig, OptimizationConfig,
                                         STFTLossConfig)
-    cfg = CleanUMambaConfig(**{**TINY, "bottleneck": bottleneck})
+    kw = {**TINY, "bottleneck": bottleneck}
+    if bottleneck == "mha":
+        kw["tsfm_n_head"] = 4  # whole heads per device on the 4-way mesh
+    cfg = CleanUMambaConfig(**kw)
     loss_cfg = LossConfig(stft_config=STFTLossConfig(
         fft_sizes=(64,), hop_sizes=(16,), win_lengths=(32,)))
     opt_cfg = OptimizationConfig(n_iters=100, bf16=False,
                                  clip_grad_norm_max=10.0)
     params = init_params(jax.random.PRNGKey(3), cfg)
+    if bottleneck == "mamba_s4":
+        from cleanumamba_tpu.models.cleanumamba import prepare_for_length
+        params = prepare_for_length(params, cfg, 801)
     rng = np.random.default_rng(7)
     clean = jnp.asarray(rng.normal(size=(4, 801)).astype(np.float32) * 0.3)
     noisy = clean + 0.1 * jnp.asarray(
@@ -193,7 +233,8 @@ def test_tp_grads_match_single_device():
 
 @pytest.mark.parametrize("data_axis,bottleneck",
                          [(None, "mamba"), ("data", "mamba"),
-                          (None, "mamba2"), ("data", "mamba2")])
+                          (None, "mamba2"), ("data", "mamba2"),
+                          (None, "mha"), (None, "mamba_s4")])
 @pytest.mark.slow
 def test_tp_train_step_matches_single_device(data_axis, bottleneck):
     """TP (and DP x TP) training == the single-device step: same params

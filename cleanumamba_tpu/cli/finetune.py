@@ -47,9 +47,16 @@ def main(argv=None):
                          "make_device_data_steps); implies --synthetic")
     args = ap.parse_args(argv)
     if args.device_data:
+        if args.data_root:
+            ap.error("--device-data trains on device-synthesized batches; "
+                     "it cannot be combined with --data-root")
         args.synthetic = True
         if args.log_every % args.device_data:
             ap.error("--log-every must be a multiple of --device-data")
+        if args.iters % args.device_data:
+            # the fused dispatch advances K iters at a time: a non-multiple
+            # would overshoot the LR schedule and mislabel the checkpoint
+            ap.error("--iters must be a multiple of --device-data")
 
     cfg, params, meta = load_any_checkpoint(args.ckpt)
     print(f"finetuning {count_params(params)/1e6:.3f}M params ({cfg.bottleneck})")
@@ -97,7 +104,7 @@ def main(argv=None):
             clean, noisy = next(loader)
             batch = (jnp.asarray(clean[None]), jnp.asarray(noisy[None]))
             params, opt_state, aux = step(params, opt_state, batch)
-        if crossed(n_iter, args.log_every) or n_iter == stride - 1:
+        if crossed(n_iter, args.log_every):
             print(f"iter {n_iter}: loss={float(aux['loss']):.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             sink.log({k: float(v) for k, v in aux.items()}, step=n_iter,

@@ -367,10 +367,12 @@ def extend_kernel_length(kp: Dict, L: int) -> Dict:
 # forward
 # ---------------------------------------------------------------------------
 
-def _s4block_forward(p, x):
-    """S4Block around FFTConv.  x: (B, L, d_inner) -> (B, L, d_inner)."""
-    u = x @ p["input_linear_w"].astype(x.dtype) + p["input_linear_b"].astype(x.dtype)
-    # FFT long convolution (MambaS4.py:127-136): pad to 2L, causal
+def fft_long_conv(p, u):
+    """The S4 long convolution core on (B, L, H) inputs: length-L kernel via
+    the mode-dispatched registry, FFT conv padded to 2L (causal), D skip,
+    flatten C=1 channels, exact GELU (MambaS4.py:127-136).  Shared by the
+    offline mixer and the tensor-parallel mixer (parallel/tensor.py), which
+    runs it replicated on the full tiny-H ``u``."""
     B_, L, H = u.shape
     k = s4_kernel(p["kernel"], L)  # (C=1, H, L), mode-dispatched
     n = 2 * L
@@ -381,8 +383,14 @@ def _s4block_forward(p, x):
     # D skip (MambaS4.py:136): y[b,c,l,h] += u[b,l,h] * D[c,h]
     y = y + u.astype(jnp.float32)[:, None] * p["ssm_D"].astype(jnp.float32)[None, :, None, :]
     # flatten channels (c h) with C=1 -> (B, L, H)
-    y = y[:, 0].astype(x.dtype)
-    y = jax.nn.gelu(y, approximate=False)
+    y = y[:, 0].astype(u.dtype)
+    return jax.nn.gelu(y, approximate=False)
+
+
+def _s4block_forward(p, x):
+    """S4Block around FFTConv.  x: (B, L, d_inner) -> (B, L, d_inner)."""
+    u = x @ p["input_linear_w"].astype(x.dtype) + p["input_linear_b"].astype(x.dtype)
+    y = fft_long_conv(p, u)
     # output_linear + GLU over last dim
     y = y @ p["output_linear_w"].astype(x.dtype) + p["output_linear_b"].astype(x.dtype)
     half = y.shape[-1] // 2

@@ -594,7 +594,7 @@ def _tp_s4_mixer_forward(p, x, axis):
     """Local-shard MambaS4 mixer (mirrors bottleneck_s4.mixer_forward /
     _s4block_forward with the two TP psums).  The S4 long convolution runs
     replicated on the full (tiny) H; d_inner is the sharded width."""
-    from cleanumamba_tpu.models.bottleneck_s4 import s4_kernel
+    from cleanumamba_tpu.models.bottleneck_s4 import fft_long_conv
 
     m = p["conv_w"].shape[1]  # LOCAL d_inner/n
     xz = x @ p["in_proj"].astype(x.dtype)   # (B, T, 2m) = [x_k | z_k]
@@ -604,18 +604,8 @@ def _tp_s4_mixer_forward(p, x, axis):
     # input_linear row-parallel: psum of the tiny (B, T, H) projection
     u = lax.psum(xs @ p["input_linear_w"].astype(xs.dtype), axis) \
         + p["input_linear_b"].astype(xs.dtype)
-    # S4 FFT long convolution, replicated (bottleneck_s4._s4block_forward)
-    B_, L, H = u.shape
-    k = s4_kernel(p["kernel"], L)  # (C=1, H, L)
-    nfft = 2 * L
-    uf = jnp.fft.rfft(u.astype(jnp.float32), n=nfft, axis=1)
-    kf = jnp.fft.rfft(k.astype(jnp.float32), n=nfft, axis=-1)
-    yf = uf[:, None] * jnp.moveaxis(kf, -1, 1)[None]
-    y = jnp.fft.irfft(yf, n=nfft, axis=2)[:, :, :L, :]
-    y = y + u.astype(jnp.float32)[:, None] \
-        * p["ssm_D"].astype(jnp.float32)[None, :, None, :]
-    y = y[:, 0].astype(x.dtype)
-    y = jax.nn.gelu(y, approximate=False)
+    # S4 FFT long convolution, replicated on the full tiny-H u
+    y = fft_long_conv(p, u)
     # output_linear column-parallel, local slice is [A_k | B_k] -> local GLU
     y = y @ p["output_linear_w"].astype(x.dtype) \
         + p["output_linear_b"].astype(x.dtype)

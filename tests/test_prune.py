@@ -257,10 +257,11 @@ def test_banked_lifecycle_artifact():
     scored = json.load(open(os.path.join(repo, "docs", "prune_lifecycle.json")))
     assert count_params(params) == scored["ours pruned+finetuned"]["params"]
     assert ck["iter"] == scored["ours pruned+finetuned"]["iter"]
-    # ragged: pruned widths differ from the full 2M geometry's d_model=512
-    d_models = {np.shape(lp["mixer"]["in_proj"])[0]
-                for lp in params["bottleneck"]["layers"]}
-    assert d_models != {cfg.tsfm_d_model} or True  # informational
+    # ragged: every layer's pruned d_inner (in_proj columns / 2) sits below
+    # the unpruned config's d_inner — the artifact really is channel-pruned
+    d_inners = [np.shape(lp["mixer"]["in_proj"])[1] // 2
+                for lp in params["bottleneck"]["layers"]]
+    assert all(di < cfg.d_inner for di in d_inners), (d_inners, cfg.d_inner)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4001)) * 0.1,
                     jnp.float32)

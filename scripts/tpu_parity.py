@@ -38,9 +38,16 @@ for rel in CKPTS:
     path = os.path.join(root, rel)
     ok = True
     for dev in ("cpu", "tpu"):
+        # PREPEND the repo to PYTHONPATH: the sandbox registers the TPU
+        # backend via PYTHONPATH=/root/.axon_site, so overwriting the
+        # variable (rather than extending it) silently kills the tpu leg.
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [os.path.dirname(os.path.dirname(os.path.abspath(__file__)))]
+            + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
         r = subprocess.run([sys.executable, "/tmp/parity_worker.py", path, dev,
                             f"/tmp/y_{dev}.npy"], capture_output=True, text=True,
-                           timeout=1200)
+                           timeout=1200, env=env)
         if r.returncode != 0:
             print(f"{rel}: {dev} FAIL: {r.stderr.strip().splitlines()[-1][:120]}", flush=True)
             ok = False

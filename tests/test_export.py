@@ -1,4 +1,10 @@
-"""Bidirectional checkpoint interop: export -> reload -> identical outputs."""
+"""jax.export serving bundles: roundtrip exactness and state handoff.
+
+The exported artifact must reproduce the live functions bit-for-bit (same
+StableHLO, same backend) and the exported streaming step must continue a
+session primed by the exported prime — the serving loop owns the state
+pytree (see cleanumamba_tpu/export.py).
+"""
 
 import numpy as np
 import pytest
@@ -6,67 +12,97 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-torch = pytest.importorskip("torch")
-
 from cleanumamba_tpu.config import CleanUMambaConfig
-from cleanumamba_tpu.convert import (
-    convert_state_dict,
-    export_reference_state_dict,
-    save_reference_checkpoint,
-)
-from cleanumamba_tpu.models.cleanumamba import count_params, forward, init_params
+from cleanumamba_tpu.models.cleanumamba import forward, init_params
+from cleanumamba_tpu import export as ex
+from cleanumamba_tpu.streaming import stream_prime, stream_step
 
-MINI = dict(channels_H=16, max_H=32, encoder_n_layers=4, tsfm_n_layers=2,
-            tsfm_n_head=2, tsfm_d_model=32, tsfm_d_inner=64)
+TINY = dict(channels_H=8, max_H=16, tsfm_n_head=2, tsfm_d_model=16,
+            tsfm_d_inner=32, normalize_input=True)
 
 
-@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha", "mamba_s4"])
-def test_export_roundtrip(bottleneck, tmp_path):
-    cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    cfg = CleanUMambaConfig(bottleneck="mamba", **TINY)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    if bottleneck == "mamba_s4":
-        from cleanumamba_tpu.models.cleanumamba import prepare_for_length
-
-        params = prepare_for_length(params, cfg, 2000)
-    sd = export_reference_state_dict(params, cfg)
-    params2 = convert_state_dict(sd, cfg)
-    # identical structure first: zip() would silently truncate a lossy export
-    assert jax.tree_util.tree_structure(params2) == jax.tree_util.tree_structure(params)
-    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
-
-    # full save/load through the reference .pkl format
-    path = str(tmp_path / "export.pkl")
-    save_reference_checkpoint(path, params, cfg, n_iter=7)
-    from cleanumamba_tpu.convert import load_reference_checkpoint
-
-    cfg3, params3, meta = load_reference_checkpoint(path)
-    assert meta["iter"] == 7
-    assert cfg3.bottleneck == bottleneck
-    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 2000)), jnp.float32)
-    y1 = np.asarray(forward(params, x, cfg))
-    y2 = np.asarray(forward(params3, x, cfg3))
-    np.testing.assert_allclose(y1, y2, atol=1e-6)
-
-
-def test_export_pruned_model(tmp_path):
-    """Prune, export, reload: ragged widths survive the reference format."""
-    from cleanumamba_tpu.prune.pruner import apply_pruning
-
-    cfg = CleanUMambaConfig(**MINI)
-    params = init_params(jax.random.PRNGKey(1), cfg)
-    params, _, _ = apply_pruning(
-        params, {"d_inner0": list(range(8)), "skip_conn_1": [0, 1], "d_model": [3]}, cfg
+    L = cfg.valid_length(4000)
+    path = str(tmp_path_factory.mktemp("bundle"))
+    prime_exp, step_exp = ex.export_stream(params, cfg)
+    ex.save_bundle(
+        path, cfg,
+        {"offline": ex.export_offline(params, cfg, L),
+         "prime": prime_exp, "step": step_exp},
+        extra_meta={"length": L},
     )
-    path = str(tmp_path / "pruned.pkl")
-    save_reference_checkpoint(path, params, cfg)
-    from cleanumamba_tpu.convert import load_reference_checkpoint
+    return cfg, params, L, path
 
-    cfg2, params2, _ = load_reference_checkpoint(path)
-    assert count_params(params2) == count_params(params)
-    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 2000)), jnp.float32)
-    np.testing.assert_allclose(
-        np.asarray(forward(params, x, cfg)),
-        np.asarray(forward(params2, x, cfg2)),
-        atol=1e-6,
-    )
+
+def test_offline_roundtrip_exact(bundle):
+    # exactness is jit-vs-jit: the exported artifact re-executes the same
+    # StableHLO the jitted live function lowers to (eager execution fuses
+    # differently and is NOT the comparison baseline)
+    cfg, params, L, path = bundle
+    cfg2, fns = ex.load_bundle(path)
+    assert cfg2 == cfg
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, L)).astype(np.float32) * 0.3)
+    y_direct = jax.jit(lambda p, a: forward(p, a, cfg))(params, x)
+    y_loaded = fns["offline"](params, x)
+    assert y_loaded.shape == y_direct.shape
+    np.testing.assert_array_equal(np.asarray(y_direct), np.asarray(y_loaded))
+
+
+def test_stream_state_handoff_exact(bundle):
+    cfg, params, L, path = bundle
+    _, fns = ex.load_bundle(path)
+    jit_prime = jax.jit(lambda p, f: stream_prime(p, cfg, f))
+    jit_step = jax.jit(lambda p, s, n: stream_step(p, cfg, s, n))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, L)).astype(np.float32) * 0.3)
+    state_d, out_d = jit_prime(params, x[:, : cfg.frame_length])
+    state_l, out_l = fns["prime"](params, x[:, : cfg.frame_length])
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out_l))
+    # two steady-state steps through the loaded artifact vs the live step
+    pos = cfg.frame_length
+    for _ in range(2):
+        new = x[:, pos : pos + cfg.total_stride]
+        state_d, od = jit_step(params, state_d, new)
+        state_l, ol = fns["step"](params, state_l, new)
+        np.testing.assert_array_equal(np.asarray(od), np.asarray(ol))
+        pos += cfg.total_stride
+
+
+def test_bundle_is_self_describing(bundle):
+    cfg, _, L, path = bundle
+    import json, os
+    meta = json.load(open(os.path.join(path, "bundle.json")))
+    assert meta["length"] == L
+    assert set(meta["functions"]) == {"offline", "prime", "step"}
+    for entry in meta["functions"].values():
+        assert entry["platforms"], entry
+        assert os.path.exists(os.path.join(path, entry["file"]))
+
+
+def test_block_step_export_matches_singles():
+    cfg = CleanUMambaConfig(bottleneck="mamba", **TINY)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    prime_exp, step4 = ex.export_stream(params, cfg, block=4)
+    L = cfg.frame_length + 8 * cfg.total_stride
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, L)).astype(np.float32) * 0.3)
+    state, _ = prime_exp.call(params, x[:, : cfg.frame_length])
+    state_b = state
+    outs_single, outs_block = [], []
+    pos = cfg.frame_length
+    for _ in range(2):
+        blk = x[:, pos : pos + 4 * cfg.total_stride]
+        for j in range(4):
+            state, o = stream_step(
+                params, cfg, state, blk[:, j * cfg.total_stride : (j + 1) * cfg.total_stride])
+            outs_single.append(np.asarray(o))
+        state_b, ob = step4.call(params, state_b, blk)
+        outs_block.append(np.asarray(ob))
+        pos += 4 * cfg.total_stride
+    single = np.concatenate(outs_single, axis=1)
+    block = np.concatenate(outs_block, axis=1)
+    np.testing.assert_allclose(single, block, atol=2e-6)

@@ -221,7 +221,12 @@ def stream_prime(params, cfg: CleanUMambaConfig, frame, dtype=jnp.float32):
     state = {
         "input_tail": frame[:, cfg.total_stride :],
         "input_std": std,
-        "frames": jnp.ones((), jnp.int32),
+        # per-SESSION frame counter (B, 1): every state leaf is batch-leading,
+        # so a serving multiplexer (serve.py) can splice a freshly-primed
+        # session into slot b of a running pool with one tree_map — including
+        # the normalization EMA weight 1/n, which must restart at n=2 for the
+        # new session while older sessions keep their own counts
+        "frames": jnp.ones((B, 1), jnp.int32),
         "enc": enc_caches,
         "dec": dec_caches,
         "bottleneck": bott_cache,
@@ -427,18 +432,22 @@ def _ema_stds(std_now, std0, frames0):
     tiny dispatches in the block-streaming hot path).  w_t is O(1) and
     monotone in [coef_1^N, 1]: no over/underflow at any block size.
 
-    std_now: (B, N, 1);  std0: (B, 1).  Returns (B, N) per-frame EMA values.
+    std_now: (B, N, 1);  std0: (B, 1);  frames0: (B, 1) per-session counters
+    (a scalar broadcasts — legacy states).  Returns (B, N) per-frame EMAs.
     """
     N = std_now.shape[1]
-    n_t = frames0.astype(jnp.float32) + 1.0 + jnp.arange(N, dtype=jnp.float32)
-    coef = 1.0 - 1.0 / n_t  # (N,) in [0, 1]; coef_0 = 0 iff fresh stream
-    s_first = std_now[:, 0, 0] / n_t[0] + coef[0] * std0[:, 0]  # (B,)
+    f0 = jnp.asarray(frames0, jnp.float32)
+    if f0.ndim == 0:
+        f0 = f0[None, None]
+    n_t = f0 + 1.0 + jnp.arange(N, dtype=jnp.float32)  # (B, N)
+    coef = 1.0 - 1.0 / n_t  # in [0, 1]; coef_0 = 0 iff fresh stream
+    s_first = std_now[:, 0, 0] / n_t[:, 0] + coef[:, 0] * std0[:, 0]  # (B,)
     if N == 1:
         return s_first[:, None]
     # anchored at s_first, all later coefs are > 0 (n_j >= 2): closed form
-    w = jnp.cumprod(coef[1:])  # (N-1,) relative products
-    terms = (std_now[:, 1:, 0] / n_t[None, 1:]) / w[None, :]
-    rest = w[None, :] * (s_first[:, None] + jnp.cumsum(terms, axis=1))
+    w = jnp.cumprod(coef[:, 1:], axis=1)  # (B, N-1) relative products
+    terms = (std_now[:, 1:, 0] / n_t[:, 1:]) / w
+    rest = w * (s_first[:, None] + jnp.cumsum(terms, axis=1))
     return jnp.concatenate([s_first[:, None], rest], axis=1)  # (B, N)
 
 
@@ -565,6 +574,43 @@ def stream_many(params, cfg: CleanUMambaConfig, state, blocks, dtype=jnp.float32
     return state, outs
 
 
+def prepare_weight_view(params, weights: str, dtype=jnp.float32,
+                        quant_min_size: int = 4096):
+    """Storage-precision prep shared by Streamer and serve.SessionMultiplexer.
+
+    weights: "fp32" | "bf16" | "int8" — precision of the weight tensors the
+    per-frame step streams from HBM (the single-frame latency lever; see
+    Streamer).  Returns ``(stored_params, view)`` where ``view(stored)``
+    yields the compute-dtype params the step functions consume.
+    """
+    if weights == "int8":
+        from cleanumamba_tpu.quant import dequantize_params, quantize_params
+
+        stored = quantize_params(params, min_size=quant_min_size)
+        view = lambda p: dequantize_params(p, dtype)  # noqa: E731
+    elif weights == "bf16":
+        # Same exclusion as the int8 path (quant._SENSITIVE_KEYS): leave
+        # state-dynamics params (A_log etc.) fp32 — their consumers
+        # exponentiate and amplify rounding error.
+        from cleanumamba_tpu.quant import _SENSITIVE_KEYS
+
+        def _cast(path, x):
+            names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
+            if (hasattr(x, "dtype") and x.dtype == jnp.float32
+                    and x.ndim >= 2 and not names.intersection(_SENSITIVE_KEYS)):
+                return x.astype(jnp.bfloat16)
+            return x
+
+        stored = jax.tree_util.tree_map_with_path(_cast, params)
+        view = lambda p: p  # noqa: E731
+    elif weights == "fp32":
+        stored = params
+        view = lambda p: p  # noqa: E731
+    else:
+        raise ValueError(f"weights={weights!r}: expected fp32|bf16|int8")
+    return stored, view
+
+
 class Streamer:
     """Host-side convenience wrapper mirroring the reference feed/flush API
     (CleanUMamba.py:358-418): accepts arbitrary-length chunks, internally
@@ -594,31 +640,8 @@ class Streamer:
         (its fused dequant-into-GEMM wins at streaming's tiny GEMM sizes).
         fused_interpret runs the kernels in interpret mode (CPU
         equivalence tests)."""
-        if weights == "int8":
-            from cleanumamba_tpu.quant import dequantize_params, quantize_params
-
-            self.params = quantize_params(params, min_size=quant_min_size)
-            view = lambda p: dequantize_params(p, dtype)  # noqa: E731
-        elif weights == "bf16":
-            # Same exclusion as the int8 path (quant._SENSITIVE_KEYS): leave
-            # state-dynamics params (A_log etc.) fp32 — their consumers
-            # exponentiate and amplify rounding error.
-            from cleanumamba_tpu.quant import _SENSITIVE_KEYS
-
-            def _cast(path, x):
-                names = {getattr(k, "key", getattr(k, "name", None)) for k in path}
-                if (hasattr(x, "dtype") and x.dtype == jnp.float32
-                        and x.ndim >= 2 and not names.intersection(_SENSITIVE_KEYS)):
-                    return x.astype(jnp.bfloat16)
-                return x
-
-            self.params = jax.tree_util.tree_map_with_path(_cast, params)
-            view = lambda p: p  # noqa: E731
-        elif weights == "fp32":
-            self.params = params
-            view = lambda p: p  # noqa: E731
-        else:
-            raise ValueError(f"weights={weights!r}: expected fp32|bf16|int8")
+        self.params, view = prepare_weight_view(
+            params, weights, dtype, quant_min_size)
         self.cfg = cfg
         self.dtype = dtype
         self.batch = batch

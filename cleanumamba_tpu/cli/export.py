@@ -64,10 +64,11 @@ def main(argv=None):
     offline = ex.export_offline(params, cfg, L, batch=args.batch)
     prime, step = ex.export_stream(params, cfg, batch=args.batch,
                                    block=args.block)
+    # batch/block land in the bundle schema automatically (save_bundle
+    # derives them from the traced shapes)
     ex.save_bundle(args.out, cfg,
                    {"offline": offline, "prime": prime, "step": step},
-                   extra_meta={"length": L, "block": args.block,
-                               "batch": args.batch, "ckpt": args.ckpt})
+                   extra_meta={"length": L, "ckpt": args.ckpt})
     print(f"wrote {args.out} in {time.time()-t0:.1f}s "
           f"(platforms {list(offline.platforms)})")
 

@@ -143,6 +143,20 @@ def save_bundle(path: str, cfg: CleanUMambaConfig,
         "config": dataclasses.asdict(cfg),
         "functions": table,
     }
+    # batch/block are part of the bundle schema proper (not CLI-only
+    # metadata): serve.SessionMultiplexer.from_bundle sizes its slot pool
+    # from them.  Derived from the traced input shapes — the LAST flattened
+    # input aval of each function is its raw-audio argument (params/state
+    # pytree leaves flatten first): step's new_samples is
+    # (batch, block * total_stride); prime's frame and offline's x carry
+    # batch only.
+    for name in ("step", "prime", "offline"):
+        if name in exported:
+            b, width = exported[name].in_avals[-1].shape
+            meta["batch"] = int(b)
+            if name == "step":
+                meta["block"] = int(width) // cfg.total_stride
+            break
     if extra_meta:
         meta.update(extra_meta)
     with open(os.path.join(path, "bundle.json"), "w") as f:

@@ -77,6 +77,9 @@ def test_bundle_is_self_describing(bundle):
     import json, os
     meta = json.load(open(os.path.join(path, "bundle.json")))
     assert meta["length"] == L
+    # batch/block are schema fields derived from traced shapes, not
+    # caller-supplied metadata (serve.from_bundle depends on them)
+    assert meta["batch"] == 1 and meta["block"] == 1
     assert set(meta["functions"]) == {"offline", "prime", "step"}
     for entry in meta["functions"].values():
         assert entry["platforms"], entry

@@ -6,7 +6,15 @@ flush).  On TPU the single-frame step is weight-bandwidth/dispatch-bound
 (docs/performance.md: the compute is a rounding error next to streaming the
 weights from HBM), so the idiomatic serving shape is to BATCH concurrent
 sessions: the weights are read from HBM once per tick regardless of the
-batch size, and the per-session cost collapses.  This module multiplexes up
+batch size, and the per-session cost falls with batch.  Measured on-chip
+(E8-full bf16, block 16, `scripts/bench_serve_scaling.py`, 2026-08-20):
+per-session cost 0.0143 ms/frame at batch 1 -> 0.0055 ms/frame at batch 8;
+aggregate 1121 -> 2934 audio-s/s — one chip sustains ~2900 concurrent
+real-time streams at 256 ms chunk latency.  (Getting there required the
+Pallas scan dispatch in streaming._bottleneck_tokens: the first batch-8
+probe measured a 9.9 ms tick because the XLA chunked scan's fp32
+coefficient tensors fall out of fusion at serving batch — full table in
+docs/performance.md, serving section.)  This module multiplexes up
 to ``slots`` independent denoise sessions through one jitted (or
 ahead-of-time exported — export.py) batched prime/step pair.
 
@@ -241,5 +249,10 @@ class SessionMultiplexer:
         import os
 
         meta = json.load(open(os.path.join(path, "bundle.json")))
+        if "batch" not in meta or "block" not in meta:
+            raise ValueError(
+                f"{path}/bundle.json lacks batch/block — re-export with the "
+                "current export.save_bundle (they are schema fields derived "
+                "from the traced shapes)")
         return cls(params, cfg, slots=meta["batch"], block=meta["block"],
                    fns={"prime": fns["prime"], "step": fns["step"]})

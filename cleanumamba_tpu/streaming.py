@@ -333,18 +333,47 @@ def stream_step_mega(cfg: CleanUMambaConfig, state, new_samples, mega,
     return new_state, out
 
 
-def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
+def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x,
+                       scan_impl: str = "auto"):
     """Run N bottleneck tokens with carried state.  x: (B, N, d_model).
 
     For the Mamba family this is the chunked selective scan with ``h0`` =
     carried state (the same math that makes block streaming possible: only
     the SSM state is sequential across frames; everything else in the block
     parallelises).  For LSTM/MHA it falls back to a lax.scan of token steps.
+
+    scan_impl: "auto" (Pallas kernel on TPU, XLA chunked scan elsewhere) |
+    "pallas" | "xla".  The XLA chunked scan materialises its
+    (B, N, d_state, d_inner) fp32 coefficient tensors through HBM — at
+    B=1 XLA keeps them fused and the bottleneck hides entirely under the
+    encoder/decoder (docs/performance.md block roofline), but at serving
+    batch 8 / block 16 they are 67 MB per tensor per layer and the tick
+    fell off a cliff (9.9 ms vs 0.63 ms at batch 2 — measured,
+    scripts/bench_serve_scaling.py).  The Pallas kernel keeps coefficients
+    in VMEM and restores near-linear batch scaling.
     """
     N = x.shape[1]
     if cfg.bottleneck == "mamba" and N > 1:
         from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
         from cleanumamba_tpu.ops.scan import selective_scan
+
+        if scan_impl == "auto":
+            from cleanumamba_tpu.ops.pallas.selective_scan import (
+                pallas_available,
+            )
+
+            scan_impl = "pallas" if pallas_available() else "xla"
+        if scan_impl in ("pallas", "pallas_interpret"):
+            from cleanumamba_tpu.ops.pallas.selective_scan import (
+                pallas_selective_scan,
+            )
+            interp = scan_impl == "pallas_interpret"
+
+            def scan_fn(xs, dt, A, Bm, Cm, D, h0, chunk):
+                return pallas_selective_scan(xs, dt, A, Bm, Cm, D, h0,
+                                             chunk=chunk, interpret=interp)
+        else:
+            scan_fn = selective_scan
 
         bp = params["bottleneck"]
         hidden = x
@@ -381,8 +410,8 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x):
             dt = dt @ p["dt_proj_w"].astype(dt.dtype) + p["dt_proj_b"].astype(dt.dtype)
             dt = jax.nn.softplus(dt.astype(jnp.float32))
             A = -jnp.exp(p["A_log"].astype(jnp.float32))
-            y, h_last = selective_scan(
-                xs, dt, A, Bm, Cm, p["D"], h0=lc["ssm_state"], chunk=min(32, N)
+            y, h_last = scan_fn(
+                xs, dt, A, Bm, Cm, p["D"], lc["ssm_state"], min(32, N)
             )
             y = y * jax.nn.silu(z)
             hidden = y @ p["out_proj"].astype(y.dtype)
@@ -451,7 +480,8 @@ def _ema_stds(std_now, std0, frames0):
     return jnp.concatenate([s_first[:, None], rest], axis=1)  # (B, N)
 
 
-def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=jnp.float32):
+def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples,
+                      dtype=jnp.float32, scan_impl: str = "auto"):
     """Block streaming: consume N*total_stride new samples, emit the same.
 
     Math-identical to N successive :func:`stream_step` calls — including
@@ -524,7 +554,8 @@ def stream_step_block(params, cfg: CleanUMambaConfig, state, new_samples, dtype=
     # bottleneck over the N new tokens (skips[-1] has length N: the deepest
     # level's cache is empty)
     z = skips[-1] @ params["tsfm_conv1"]["w"][0].astype(dtype) + params["tsfm_conv1"]["b"].astype(dtype)
-    bott_cache, y = _bottleneck_tokens(params, cfg, state["bottleneck"], z)
+    bott_cache, y = _bottleneck_tokens(params, cfg, state["bottleneck"], z,
+                                       scan_impl=scan_impl)
     x = y @ params["tsfm_conv2"]["w"][0].astype(dtype) + params["tsfm_conv2"]["b"].astype(dtype)
 
     new_dec = []

@@ -12,11 +12,18 @@ and, independently, with the two weight preparations in play:
           leaves bf16, 1-D and state-dynamics leaves fp32 (Streamer/serve)
 
 Run on the TPU chip:
-  python scripts/bench_serve_scaling.py [block] [prep:batch ...]
-e.g.  python scripts/bench_serve_scaling.py 16 view:2 view:8 cast:8
-Prints one JSON line per (prep, batch) cell.  Default cells cover both
-preps at batches 1/2/8; compile time on the relay is ~8 min per cell, so
-name only the cells you need.
+  python scripts/bench_serve_scaling.py [block] [prep:batch[:impl] ...]
+e.g.  python scripts/bench_serve_scaling.py 16 view:2 view:8:xla cast:8:pallas
+Prints one JSON line per (prep, batch, impl) cell.  impl is the
+bottleneck scan dispatch inside stream_step_block: "auto" (default —
+Pallas on the chip), "xla" (the chunked associative scan), "pallas".
+Default cells cover both preps at batches 1/2/8.
+
+Measured 2026-08-20 (block 16, E8-full bf16): the XLA chunked scan's
+(B, N, d_state, d_inner) fp32 coefficient tensors fall out of fusion at
+batch 8 (67 MB per tensor per layer) — tick 9.9 ms vs 0.63 ms at batch 2,
+identically for both weight preps.  The Pallas dispatch fix lives in
+streaming._bottleneck_tokens; results in docs/performance.md (serving).
 """
 import json
 import os
@@ -43,10 +50,13 @@ def main():
 
     block = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     if len(sys.argv) > 2:
-        cells = [(p, int(b)) for p, b in
-                 (spec.split(":") for spec in sys.argv[2:])]
+        cells = []
+        for spec in sys.argv[2:]:
+            parts = spec.split(":")
+            cells.append((parts[0], int(parts[1]),
+                          parts[2] if len(parts) > 2 else "auto"))
     else:
-        cells = [(p, b) for p in ("cast", "view") for b in BATCHES]
+        cells = [(p, b, "auto") for p in ("cast", "view") for b in BATCHES]
     cfg = CleanUMambaConfig()
     dtype = jnp.bfloat16
     base = init_params(jax.random.PRNGKey(0), cfg)
@@ -60,7 +70,7 @@ def main():
     rng = np.random.default_rng(0)
 
     preps = {"cast": (casted, lambda p: p), "view": (viewed, view_fn)}
-    for prep, B in cells:
+    for prep, B, impl in cells:
             params, view = preps[prep]
             audio = rng.normal(
                 size=(B, fl + N_FRAMES * ts)).astype(np.float32) * 0.1
@@ -75,7 +85,7 @@ def main():
             def run(p, s, bl, scale):
                 def body(st, blk):
                     return streaming.stream_step_block(
-                        view(p), cfg, st, blk * scale, dtype)
+                        view(p), cfg, st, blk * scale, dtype, scan_impl=impl)
                 st, outs = jax.lax.scan(body, s, bl)
                 return jnp.sum(jnp.abs(outs.astype(jnp.float32)))
 
@@ -91,7 +101,7 @@ def main():
             tick_ms = dt / n_blocks * 1e3
             agg = B * (N_FRAMES * ts / sr) / dt
             print(json.dumps({
-                "prep": prep, "batch": B, "block": block,
+                "prep": prep, "batch": B, "block": block, "impl": impl,
                 "tick_ms": round(tick_ms, 4),
                 "ms_per_frame_agg": round(dt / (n_blocks * block * B) * 1e3, 5),
                 "agg_audio_s_per_s": round(agg, 1),

@@ -53,6 +53,32 @@ def test_block_equals_per_frame(bottleneck, N, normalize_input):
     np.testing.assert_allclose(block_out, np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+def test_block_pallas_scan_matches_xla():
+    """The serving fix: stream_step_block's bottleneck dispatches to the
+    Pallas scan kernel on TPU (the XLA chunked scan's fp32 coefficient
+    tensors fall out of fusion at serving batch — measured 9.9 ms vs
+    0.63 ms tick at batch 8 vs 2, scripts/bench_serve_scaling.py).
+    Interpret mode pins the Pallas branch == the XLA branch on CPU."""
+    cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    ts, fl = cfg.total_stride, cfg.frame_length
+    N = 5
+    rng = np.random.default_rng(2)
+    audio = rng.normal(size=(3, fl + N * ts)).astype(np.float32) * 0.3
+    state, _ = stream_prime(params, cfg, jnp.asarray(audio[:, :fl]))
+    chunk = jnp.asarray(audio[:, fl:])
+    st_x, out_x = stream_step_block(params, cfg, state, chunk,
+                                    scan_impl="xla")
+    st_p, out_p = stream_step_block(params, cfg, state, chunk,
+                                    scan_impl="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               atol=1e-5, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st_p),
+                    jax.tree_util.tree_leaves(st_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 @pytest.mark.slow
 def test_block_matches_offline():
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)

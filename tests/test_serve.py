@@ -169,10 +169,11 @@ def test_from_bundle_serves_without_model_code(model, tmp_path):
     from cleanumamba_tpu import export as ex
 
     fl, ts = cfg.frame_length, cfg.total_stride
+    # library-API save, no extra_meta: batch/block must come from the
+    # bundle schema itself (save_bundle derives them from traced shapes)
     prime_exp, step_exp = ex.export_stream(params, cfg, batch=2, block=1)
     ex.save_bundle(str(tmp_path), cfg,
-                   {"prime": prime_exp, "step": step_exp},
-                   extra_meta={"batch": 2, "block": 1})
+                   {"prime": prime_exp, "step": step_exp})
     mux_b = SessionMultiplexer.from_bundle(str(tmp_path), params)
     assert mux_b.slots == 2 and mux_b.block == 1
     mux_l = SessionMultiplexer(params, cfg, slots=2)

@@ -53,6 +53,7 @@ def test_block_equals_per_frame(bottleneck, N, normalize_input):
     np.testing.assert_allclose(block_out, np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_block_pallas_scan_matches_xla():
     """The serving fix: stream_step_block's bottleneck dispatches to the
     Pallas scan kernel on TPU (the XLA chunked scan's fp32 coefficient

@@ -86,6 +86,7 @@ def test_bundle_is_self_describing(bundle):
         assert os.path.exists(os.path.join(path, entry["file"]))
 
 
+@pytest.mark.slow
 def test_block_step_export_matches_singles():
     cfg = CleanUMambaConfig(bottleneck="mamba", **TINY)
     params = init_params(jax.random.PRNGKey(2), cfg)

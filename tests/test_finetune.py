@@ -91,6 +91,7 @@ def test_finetune_cli_ragged_roundtrip(tmp_path):
     assert min(losses[-5:]) < losses[0], losses
 
 
+@pytest.mark.slow  # 21-24 s per family
 @pytest.mark.parametrize("bottleneck", ["mamba2", "mamba_s4"])
 def test_bottleneck_train_step_overfits(bottleneck):
     """Train-step gradient coverage for the non-default bottlenecks: loss

@@ -205,7 +205,8 @@ def test_lstm_matches_torch_nn_lstm(rng):
     "rel",
     [
         "experiments/Experiment_CleanU_Mamba.pkl",
-        "pruned/CleanUMamba-3N-E8_pruned-200K.pkl",  # ragged per-layer widths
+        pytest.param("pruned/CleanUMamba-3N-E8_pruned-200K.pkl",
+                     marks=pytest.mark.slow),  # ragged per-layer widths, 25 s
     ],
 )
 def test_full_model_matches_independent_torch_assembly(rel):

@@ -68,6 +68,7 @@ def test_band_high_slices_frames(rng):
     assert float(sc_high) < float(sc_full)
 
 
+@pytest.mark.slow
 def test_loss_fn_grad(rng):
     clean = jnp.asarray(rng.normal(size=(2, 4000)), jnp.float32)
     noisy = clean + 0.1 * jnp.asarray(rng.normal(size=(2, 4000)), jnp.float32)

@@ -28,7 +28,8 @@ def test_valid_length():
     "kwargs,expected",
     [
         (MINI, 441_601),  # == Experiment_CleanU_Mamba.pkl
-        ({}, 41_376_385),  # E8 full (41.37M, README.md:60)
+        pytest.param({}, 41_376_385,
+                     marks=pytest.mark.slow),  # E8 full (41.37M, README.md:60), 22 s init
         (dict(MINI, bottleneck="lstm"), 443_009),  # == Experiment_CleanU_LSTM.pkl
         (dict(MINI, bottleneck="mha"), 442_945),  # == Experiment_CleanU_MHA.pkl
         (dict(MINI, bottleneck="mamba2"), 427_945),  # == Experiment_CleanU_Mamba2.pkl
@@ -66,6 +67,7 @@ def test_output_length_matches_input():
         assert y.shape == (1, L)
 
 
+@pytest.mark.slow
 def test_normalization_scaling_invariance():
     """normalize_input makes output scale with input std (reference :260-262,
     :318-319): f(a*x) == a*f(x) up to float error for a>0."""

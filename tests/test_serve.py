@@ -48,6 +48,7 @@ def _audio(seed, n):
     return (np.random.default_rng(seed).normal(size=n) * 0.2).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_staggered_sessions_match_solo(model):
     """Three sessions joining at different ticks, fed in uneven chunks,
     each match their solo stream; a fourth slot stays empty throughout."""
@@ -82,6 +83,7 @@ def test_staggered_sessions_match_solo(model):
         np.testing.assert_allclose(ours, ref, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_slot_churn_reuses_slots_exactly(model):
     """Close a session mid-run, re-admit a NEW session into the same slot
     while another keeps streaming: both the survivor and the newcomer match

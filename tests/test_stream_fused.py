@@ -189,6 +189,7 @@ def test_streamer_fused_equals_unfused(params, normalize):
     np.testing.assert_allclose(b, a, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_streamer_fused_offline_equivalence(params):
     """And the fused stream still matches the offline forward (the
     reference's own invariant, CleanUMamba.py:568-591)."""

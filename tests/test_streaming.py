@@ -22,7 +22,9 @@ MINI = dict(
 )
 
 
-@pytest.mark.parametrize("bottleneck", ["mamba", "lstm", "mamba2", "mha", "mamba_s4"])
+@pytest.mark.parametrize("bottleneck", [
+    pytest.param("mamba", marks=pytest.mark.slow),  # 37 s
+    "lstm", "mamba2", "mha", "mamba_s4"])
 def test_offline_equals_streaming(bottleneck):
     cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
     params = init_params(jax.random.PRNGKey(0), cfg)
@@ -97,6 +99,7 @@ def test_feed_chunking_invariance(normalize_input):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_stream_many_matches_step_loop():
     """On-device lax.scan streaming == python step loop."""
     cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)

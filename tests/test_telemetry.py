@@ -22,6 +22,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_telemetry_forward_matches_plain():
     cfg = CleanUMambaConfig(**TINY)
     params = init_params(jax.random.PRNGKey(0), cfg)

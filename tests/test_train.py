@@ -137,6 +137,7 @@ def test_multi_device_dp_step():
     assert max(jax.tree_util.tree_leaves(d)) < 1e-5
 
 
+@pytest.mark.slow
 def test_nonfinite_grad_detection_and_skip():
     """aux['grads_finite'] flags NaN batches; skip_nonfinite_updates leaves
     params untouched on a poisoned step."""

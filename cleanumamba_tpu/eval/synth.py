@@ -25,7 +25,9 @@ def speech_like(seed: int, seconds: float = 4.0, fs: int = 16000) -> np.ndarray:
     for _ in range(int(seconds * 3)):
         f0 = rng.uniform(90, 280)
         s = int(rng.integers(0, n - fs // 3))
-        d = int(rng.uniform(0.15, 0.35) * fs)
+        d = min(int(rng.uniform(0.15, 0.35) * fs), n - s)  # clamp at the
+        # buffer end (a start in the last fs//3 can draw a longer burst;
+        # rng consumption is unchanged, so in-range seeds are bit-identical)
         tt = t[s:s + d] - t[s]
         e = np.hanning(d)
         sig = sum(np.sin(2 * np.pi * f0 * (k + 1) * tt + rng.uniform(0, 6.28))
@@ -33,7 +35,7 @@ def speech_like(seed: int, seconds: float = 4.0, fs: int = 16000) -> np.ndarray:
         x[s:s + d] += e * sig
     for _ in range(int(seconds * 2)):
         s = int(rng.integers(0, n - fs // 8))
-        d = int(rng.uniform(0.04, 0.12) * fs)
+        d = min(int(rng.uniform(0.04, 0.12) * fs), n - s)
         burst = rng.normal(size=d)
         burst -= np.convolve(burst, np.ones(9) / 9.0, mode="same")
         x[s:s + d] += 0.25 * np.hanning(d) * burst
@@ -57,7 +59,7 @@ def speech_dense(seed: int, seconds: float = 4.0, fs: int = 16000) -> np.ndarray
     for _ in range(int(seconds * 4.5)):
         f0 = rng.uniform(90, 280)
         s = int(rng.integers(0, n - fs // 3))
-        d = int(rng.uniform(0.12, 0.3) * fs)
+        d = min(int(rng.uniform(0.12, 0.3) * fs), n - s)
         tt = t[s:s + d] - t[s]
         e = np.hanning(d)
         nh = min(20, int(7500 / f0))
@@ -72,7 +74,7 @@ def speech_dense(seed: int, seconds: float = 4.0, fs: int = 16000) -> np.ndarray
         x[s:s + d] += e * (sig / (np.abs(sig).max() + 1e-9) + asp)
     for _ in range(int(seconds * 3)):
         s = int(rng.integers(0, n - fs // 8))
-        d = int(rng.uniform(0.05, 0.15) * fs)
+        d = min(int(rng.uniform(0.05, 0.15) * fs), n - s)
         burst = rng.normal(size=d)
         burst -= np.convolve(burst, np.ones(9) / 9.0, mode="same")
         x[s:s + d] += 0.5 * np.hanning(d) * burst

@@ -40,11 +40,21 @@ def main():
     optimizer = make_optimizer(opt_cfg, schedule=lambda s: 1e-4)
     rng = np.random.default_rng(0)
 
+    # cells: (batch, remat) — remat recomputes the forward in the backward
+    # (jax.checkpoint), trading MXU headroom (19% busy) for HBM traffic
+    # (the saved (B, L, C) activations).  Measured for the round-5
+    # "spend the remaining traffic or prove the floor" item.
+    cells = [(2, False), (4, False), (8, False), (2, True), (8, True)]
+    if len(sys.argv) > 1:
+        cells = [(int(s.split(":")[0]), s.endswith(":remat"))
+                 for s in sys.argv[1:]]
+
     results = {}
-    for batch in (2, 4, 8):
+    for batch, remat in cells:
         params = init_params(jax.random.PRNGKey(0), cfg)
         opt_state = optimizer.init(params)
-        step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=True),
+        step = jax.jit(make_train_step(cfg, loss_cfg, optimizer, bf16=True,
+                                       remat=remat),
                        donate_argnums=(0, 1))
         clean = jnp.asarray(
             rng.normal(size=(1, batch, L)).astype(np.float32) * 0.3)
@@ -59,12 +69,12 @@ def main():
             params, opt_state, aux = step(params, opt_state, (clean, noisy))
         _ = float(aux["loss"])
         ms = (time.perf_counter() - t0) / N_STEPS * 1e3
-        results[f"batch{batch}"] = {
+        tag = f"batch{batch}" + ("+remat" if remat else "")
+        results[tag] = {
             "ms_per_step": round(ms, 1),
             "audio_s_per_s": round(batch * (L / 16000) / (ms / 1e3), 0),
         }
-        print(json.dumps({f"batch{batch}": results[f"batch{batch}"]}),
-              flush=True)
+        print(json.dumps({tag: results[tag]}), flush=True)
     print(json.dumps(results))
 
 

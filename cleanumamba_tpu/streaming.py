@@ -353,8 +353,7 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x,
     in VMEM and restores near-linear batch scaling.
     """
     N = x.shape[1]
-    if cfg.bottleneck == "mamba" and N > 1:
-        from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
+    if cfg.bottleneck in ("mamba", "mamba2") and N > 1:
         from cleanumamba_tpu.ops.scan import selective_scan
 
         if scan_impl == "auto":
@@ -375,6 +374,8 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x,
         else:
             scan_fn = selective_scan
 
+        mixer_tokens = (_mamba_mixer_tokens if cfg.bottleneck == "mamba"
+                        else _mamba2_mixer_tokens)
         bp = params["bottleneck"]
         hidden = x
         residual = None
@@ -390,32 +391,8 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x,
             else:
                 hidden = layer_norm(residual, lp["norm"]["scale"], lp["norm"]["bias"], cfg.norm_epsilon)
             hidden = hidden.astype(x.dtype)
-            p = lp["mixer"]
-            _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
-            xz = hidden @ p["in_proj"].astype(hidden.dtype)
-            xs, z = xz[..., :d_inner], xz[..., d_inner:]
-            # causal depthwise conv with carried conv_state (last d_conv inputs)
-            ctx = jnp.concatenate([lc["conv_state"][:, 1:, :].astype(xs.dtype), xs], axis=1)
-            conv_w = p["conv_w"].astype(xs.dtype)
-            K = conv_w.shape[0]
-            acc = jnp.zeros_like(xs)
-            for k in range(K):
-                acc = acc + ctx[:, k : k + N, :] * conv_w[k]
-            new_conv_state = ctx[:, -d_conv:, :]
-            xs = jax.nn.silu(acc + p["conv_b"].astype(xs.dtype))
-            dbc = xs @ p["x_proj"].astype(xs.dtype)
-            dt = dbc[..., :dt_rank]
-            Bm = dbc[..., dt_rank : dt_rank + d_state]
-            Cm = dbc[..., dt_rank + d_state :]
-            dt = dt @ p["dt_proj_w"].astype(dt.dtype) + p["dt_proj_b"].astype(dt.dtype)
-            dt = jax.nn.softplus(dt.astype(jnp.float32))
-            A = -jnp.exp(p["A_log"].astype(jnp.float32))
-            y, h_last = scan_fn(
-                xs, dt, A, Bm, Cm, p["D"], lc["ssm_state"], min(32, N)
-            )
-            y = y * jax.nn.silu(z)
-            hidden = y @ p["out_proj"].astype(y.dtype)
-            new_cache.append({"conv_state": new_conv_state, "ssm_state": h_last})
+            nc, hidden = mixer_tokens(lp["mixer"], lc, hidden, scan_fn, N)
+            new_cache.append(nc)
         residual = hidden.astype(jnp.float32) + residual
         nf = bp["norm_f"]
         if cfg.rms_norm:
@@ -430,6 +407,75 @@ def _bottleneck_tokens(params, cfg: CleanUMambaConfig, cache, x,
 
     cache, ys = jax.lax.scan(tok, cache, jnp.swapaxes(x, 0, 1))
     return cache, jnp.swapaxes(ys, 0, 1)
+
+
+def _rolling_depthwise_conv(conv_state, xs, conv_w, conv_b, N):
+    """Causal depthwise conv over N tokens with carried conv_state (the last
+    d_conv inputs).  Returns (pre-activation (B, N, C), new conv_state)."""
+    ctx = jnp.concatenate([conv_state[:, 1:, :].astype(xs.dtype), xs], axis=1)
+    w = conv_w.astype(xs.dtype)
+    acc = jnp.zeros_like(xs)
+    for k in range(w.shape[0]):
+        acc = acc + ctx[:, k : k + N, :] * w[k]
+    return acc + conv_b.astype(xs.dtype), ctx[:, -conv_state.shape[1]:, :]
+
+
+def _mamba_mixer_tokens(p, lc, hidden, scan_fn, N):
+    """N Mamba-1 mixer tokens as one chunked selective scan with h0."""
+    from cleanumamba_tpu.models.bottleneck_mamba import mixer_dims
+
+    _, d_inner, d_state, dt_rank, d_conv = mixer_dims(p)
+    xz = hidden @ p["in_proj"].astype(hidden.dtype)
+    xs, z = xz[..., :d_inner], xz[..., d_inner:]
+    pre, new_conv_state = _rolling_depthwise_conv(
+        lc["conv_state"], xs, p["conv_w"], p["conv_b"], N)
+    xs = jax.nn.silu(pre)
+    dbc = xs @ p["x_proj"].astype(xs.dtype)
+    dt = dbc[..., :dt_rank]
+    Bm = dbc[..., dt_rank : dt_rank + d_state]
+    Cm = dbc[..., dt_rank + d_state :]
+    dt = dt @ p["dt_proj_w"].astype(dt.dtype) + p["dt_proj_b"].astype(dt.dtype)
+    dt = jax.nn.softplus(dt.astype(jnp.float32))
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))
+    y, h_last = scan_fn(xs, dt, A, Bm, Cm, p["D"], lc["ssm_state"], min(32, N))
+    y = y * jax.nn.silu(z)
+    hidden = y @ p["out_proj"].astype(y.dtype)
+    return {"conv_state": new_conv_state, "ssm_state": h_last}, hidden
+
+
+def _mamba2_mixer_tokens(p, lc, hidden, scan_fn, N):
+    """N Mamba-2 (SSD) mixer tokens as one chunked scan with h0.
+
+    Uses the same broadcast-to-elementwise form as mixer_step
+    (bottleneck_mamba2.py): the scalar-per-head decay expands to
+    A[i, s] = a_head(i // headdim), so the shared selective scan (Pallas
+    on TPU) carries the (B, d_inner, d_state) state exactly like the
+    per-token step does — block ≡ N steps by construction.
+    """
+    from cleanumamba_tpu.models.bottleneck_mamba2 import (
+        _split_zxbcdt,
+        mixer_geometry,
+    )
+    from cleanumamba_tpu.ops.norms import gated_rms_norm
+
+    _, d_inner, d_state, n_heads, headdim = mixer_geometry(p)
+    zxbcdt = hidden @ p["in_proj"].astype(hidden.dtype)
+    z, xBC, dt_h = _split_zxbcdt(p, zxbcdt)
+    pre, new_conv_state = _rolling_depthwise_conv(
+        lc["conv_state"], xBC, p["conv_w"], p["conv_b"], N)
+    xBC = jax.nn.silu(pre)
+    xs = xBC[..., :d_inner]
+    Bm = xBC[..., d_inner : d_inner + d_state]
+    Cm = xBC[..., d_inner + d_state :]
+    dt_h = jax.nn.softplus(dt_h.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    dt = jnp.repeat(dt_h, headdim, axis=-1)  # (B, N, d_inner)
+    A_head = -jnp.exp(p["A_log"].astype(jnp.float32))
+    A = jnp.repeat(A_head, headdim)[:, None] * jnp.ones((1, d_state), jnp.float32)
+    D = jnp.repeat(p["D"].astype(jnp.float32), headdim)
+    y, h_last = scan_fn(xs, dt, A, Bm, Cm, D, lc["ssm_state"], min(32, N))
+    y = gated_rms_norm(y, z, p["norm_w"])
+    hidden = y @ p["out_proj"].astype(y.dtype)
+    return {"conv_state": new_conv_state, "ssm_state": h_last}, hidden
 
 
 def _stack_strided_frames(window, starts, length):

@@ -62,6 +62,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pruned", default="exp/Prune-2M-synth/checkpoint")
     ap.add_argument("--finetuned", default=None)
+    ap.add_argument("--scratch", default=None,
+                    help="native ckpt dir of a FROM-SCRATCH teacher (round-5 "
+                         "capstone: the whole chain carries zero reference "
+                         "weights — scored as its own row)")
     ap.add_argument("--json", default=None,
                     help="also write results to this JSON file")
     args = ap.parse_args()
@@ -81,6 +85,13 @@ def main():
         n, scores = eval_params(params, cfg, cleans, noisy)
         rows[label] = {"params": n, **scores}
         print(json.dumps({"model": label, **rows[label]}), flush=True)
+
+    if args.scratch:
+        params, cfg, it = load_native(args.scratch)
+        n, scores = eval_params(params, cfg, cleans, noisy)
+        rows["ours from-scratch teacher"] = {"params": n, "iter": it, **scores}
+        print(json.dumps({"model": "ours from-scratch teacher",
+                          **rows["ours from-scratch teacher"]}), flush=True)
 
     params, cfg, it = load_native(args.pruned)
     n, scores = eval_params(params, cfg, cleans, noisy)

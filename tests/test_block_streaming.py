@@ -21,7 +21,7 @@ MINI = dict(
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("bottleneck", ["mamba", "lstm"])
+@pytest.mark.parametrize("bottleneck", ["mamba", "mamba2", "lstm"])
 @pytest.mark.parametrize("N", [1, 4, 7])
 @pytest.mark.parametrize("normalize_input", [False, True])
 def test_block_equals_per_frame(bottleneck, N, normalize_input):
@@ -54,13 +54,14 @@ def test_block_equals_per_frame(bottleneck, N, normalize_input):
 
 
 @pytest.mark.slow
-def test_block_pallas_scan_matches_xla():
+@pytest.mark.parametrize("bottleneck", ["mamba", "mamba2"])
+def test_block_pallas_scan_matches_xla(bottleneck):
     """The serving fix: stream_step_block's bottleneck dispatches to the
     Pallas scan kernel on TPU (the XLA chunked scan's fp32 coefficient
     tensors fall out of fusion at serving batch — measured 9.9 ms vs
     0.63 ms tick at batch 8 vs 2, scripts/bench_serve_scaling.py).
     Interpret mode pins the Pallas branch == the XLA branch on CPU."""
-    cfg = CleanUMambaConfig(bottleneck="mamba", **MINI)
+    cfg = CleanUMambaConfig(bottleneck=bottleneck, **MINI)
     params = init_params(jax.random.PRNGKey(2), cfg)
     ts, fl = cfg.total_stride, cfg.frame_length
     N = 5

@@ -68,6 +68,11 @@ def main():
                          "weights — scored as its own row)")
     ap.add_argument("--json", default=None,
                     help="also write results to this JSON file")
+    ap.add_argument("--skip-released", action="store_true",
+                    help="skip re-scoring the released 2M/500K conversions "
+                         "(their rows on this same bank are already recorded "
+                         "in docs/prune_lifecycle.json; re-compiling the "
+                         "full E8 geometry costs chip-minutes)")
     args = ap.parse_args()
 
     from cleanumamba_tpu.convert import load_reference_checkpoint
@@ -75,11 +80,12 @@ def main():
     cleans, noisy = make_bank("dense")
     rows = {}
     rows["noisy"] = {"params": 0, **score_batch(cleans, noisy)}
+    print(json.dumps({"model": "noisy", **rows["noisy"]}), flush=True)
 
-    for label, ref in (("released 2M (teacher)",
-                        "pruned/CleanUMamba-3N-E8_pruned-2M.pkl"),
-                       ("released 500K",
-                        "pruned/CleanUMamba-3N-E8_pruned-500K.pkl")):
+    released = () if args.skip_released else (
+        ("released 2M (teacher)", "pruned/CleanUMamba-3N-E8_pruned-2M.pkl"),
+        ("released 500K", "pruned/CleanUMamba-3N-E8_pruned-500K.pkl"))
+    for label, ref in released:
         cfg, params, _ = load_reference_checkpoint(
             os.path.join("/root/reference/checkpoints", ref))
         n, scores = eval_params(params, cfg, cleans, noisy)

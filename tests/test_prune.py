@@ -268,3 +268,33 @@ def test_banked_lifecycle_artifact():
     y = np.asarray(jax.jit(lambda p, v: forward(p, v, cfg))(params, x))
     assert y.shape == (1, 4001)
     assert np.isfinite(y).all()
+
+
+def test_capstone_lifecycle_artifact():
+    """The round-5 zero-reference-weights capstone artifact (2.07M trained
+    from scratch on device-synthesized data -> 724K via prune/driver.py ->
+    20k-iter finetune; docs/capstone_lifecycle.md) loads through the normal
+    checkpoint path, matches the scored record, and runs the forward — the
+    whole chain carries zero imported reference weights."""
+    import json
+    import os
+
+    from cleanumamba_tpu.train.checkpoint import load_checkpoint
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ck = load_checkpoint(os.path.join(repo, "artifacts",
+                                      "capstone_724k_scratch.pkl"))
+    params, cfg = ck["params"], ck["config"]
+    scored = json.load(open(os.path.join(repo, "docs",
+                                         "capstone_lifecycle.json")))
+    assert count_params(params) == scored["ours pruned+finetuned"]["params"]
+    # ragged: pruned channel groups sit strictly below the init geometry
+    # (configs/exp_mamba_2m.json: d_inner 512, channels_H 64)
+    d_inners = [np.shape(lp["mixer"]["in_proj"])[1] // 2
+                for lp in params["bottleneck"]["layers"]]
+    assert all(di < 512 for di in d_inners), d_inners
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 4001)) * 0.1,
+                    jnp.float32)
+    y = np.asarray(jax.jit(lambda p, v: forward(p, v, cfg))(params, x))
+    assert y.shape == (1, 4001) and np.isfinite(y).all()
